@@ -1,0 +1,101 @@
+"""Session factory + table registrar.
+
+Analog of the reference's session assembly (``src/parse_sql.rs:37-54`` —
+postgres dialect, ``target_partitions``, custom physical rules appended) and
+its table registration loop (``tpc/src/main.rs:198-224`` — every parquet
+file/dir in a data directory becomes a queryable table).
+
+Where the reference appends two custom physical optimizer rules
+(UseParallelHashJoinRule / UseWorkStealingRepartitionRule), the Spark-native
+equivalent is configuration: AQE (runtime re-planning + skew-join splitting)
+replaces the work-stealing repartition, and Spark's join selection
+(broadcast/shuffled-hash/sort-merge by size + stats) replaces the hash-join
+rewrite rule.  See ``plans/shaping.py`` for per-query plan forcing.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: Tables the driver generates at /root/testdata/sf*/ (TESTDATA.md).
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "datafusion-parallelism-spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Scale posture: these settings are chosen so the same logical plans that
+    pass correctness at sf0.01 remain the *right* plans on a 1000-executor
+    cluster at 100 TB:
+
+    * AQE on — runtime coalescing of small shuffle partitions, skew-join
+      splitting (the Spark answer to the reference's work-stealing
+      repartition), and dynamic join-strategy switching.
+    * ``autoBroadcastJoinThreshold`` left at default (10 MB) so dimension
+      tables (region/nation/supplier at any SF) broadcast instead of
+      shuffling the fact table.
+    * Arrow enabled for the pandas-UDF path (LLM-pipeline operators).
+    * Session timezone pinned to UTC so timestamp semantics are stable and
+      oracle-comparable.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or int(cpus)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def register_tables(
+    spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLE_NAMES
+) -> dict[str, DataFrame]:
+    """Register every parquet table under ``sf_dir`` as a temp view.
+
+    Mirrors ``tpc/src/main.rs:198-224``: each ``<name>.parquet`` file (or
+    directory of part files) in the data dir becomes table ``<name>``.
+    Missing files are skipped so the registrar also works on partial dirs.
+    """
+    out: dict[str, DataFrame] = {}
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if not os.path.exists(path):
+            continue
+        df = spark.read.parquet(path)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table as a DataFrame (scan stays lazy; Catalyst prunes)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
