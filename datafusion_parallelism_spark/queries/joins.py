@@ -227,14 +227,18 @@ def join_left_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_name
     FROM customer
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_totalprice > 300000
     )
     """,
 )
 def join_left_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI — ``WHERE NOT EXISTS`` → LeftAnti (lib.rs:389-437)."""
+    """LEFT ANTI — ``WHERE NOT EXISTS`` → LeftAnti (lib.rs:389-437).
+    (Filtered orders side so the result is non-empty at every SF — the
+    unfiltered variant is empty because every synthetic customer has
+    orders, which would leave the anti path untested.)"""
     customer = load(spark, sf_dir, "customer")
-    orders = load(spark, sf_dir, "orders")
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
     j = equi_join(customer, orders, [("c_custkey", "o_custkey")], how="left_anti")
     return j.select("c_custkey", "c_name")
 

@@ -70,6 +70,9 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # ns-timestamp parquet columns read as long nanos; sources/parquet.py
+        # casts them back to TimestampType at the scan.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
@@ -85,12 +88,14 @@ def register_tables(
     directory of part files) in the data dir becomes table ``<name>``.
     Missing files are skipped so the registrar also works on partial dirs.
     """
+    from .sources.parquet import read_parquet
+
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = read_parquet(spark, path)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out
@@ -98,4 +103,6 @@ def register_tables(
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table as a DataFrame (scan stays lazy; Catalyst prunes)."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from .sources.parquet import read_parquet
+
+    return read_parquet(spark, os.path.join(sf_dir, f"{name}.parquet"))
