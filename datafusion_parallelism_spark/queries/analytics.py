@@ -1,1 +1,354 @@
-"""Analytics corpus: windows, rollup, set ops, events (filled in incrementally)."""
+"""Analytics corpus: windows, rollup/cube/grouping sets, set ops, events.
+
+SURVEY §2.B marks window functions, grouping sets, and set operations as
+"available in Spark if scope grows" (the reference's DataFusion engine
+supports them; its TPC-H corpus doesn't reach them).  They are part of the
+capability envelope, so they get first-class queries + oracles here.  The
+``events`` table queries are the batch analog of the streaming scope
+(FIXTURES.md §3): time-bucketed aggregation, JSON extraction, and
+gap-based sessionization.
+
+Determinism notes: events.ts is nanosecond-precision in parquet; Spark
+truncates to µs, DuckDB keeps ns — so event-time outputs are emitted as
+formatted strings or integer epoch seconds, never raw timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.joins import equi_join
+from ..session import load, register_tables
+from .registry import query
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    register_tables(spark, sf_dir)
+    return spark.sql(text)
+
+
+# --------------------------------------------------------------------------
+# Window functions
+# --------------------------------------------------------------------------
+@query(
+    "window_rank_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice, rnk
+    FROM (
+      SELECT c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      FROM customer JOIN orders ON c_custkey = o_custkey
+    ) t
+    WHERE rnk <= 3
+    """,
+)
+def window_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via ROW_NUMBER (deterministic tiebreak).
+    Scale: single shuffle on c_custkey; no skew risk (bounded per-customer
+    order counts)."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    j = equi_join(c, o, [("c_custkey", "o_custkey")])
+    w = Window.partitionBy("c_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        j.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("c_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rnk")
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend — ordered ROWS frame (identical
+    accumulation order on both engines → fp-stable)."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@query(
+    "window_dense_rank_acctbal",
+    oracle="""
+    SELECT c_nationkey, c_custkey, drnk
+    FROM (
+      SELECT c_nationkey, c_custkey,
+             DENSE_RANK() OVER (PARTITION BY c_nationkey
+                                ORDER BY ROUND(c_acctbal, 2) DESC) AS drnk
+      FROM customer
+    ) t
+    WHERE drnk <= 5
+    """,
+)
+def window_dense_rank_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DENSE_RANK over rounded balance (rounding keeps rank ties
+    engine-independent)."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc(F.round(F.col("c_acctbal"), 2)))
+    return (
+        c.withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("drnk") <= 5)
+        .select("c_nationkey", "c_custkey", "drnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouping sets / rollup / cube
+# --------------------------------------------------------------------------
+@query(
+    "rollup_lineitem",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n, ROUND(SUM(l_extendedprice), 2) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (flag → flag+status → grand total)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+@query(
+    "cube_orders",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over status × priority (all 4 grouping combinations)."""
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (via spark.sql — syntax parity both engines)."""
+    return _sql(
+        spark,
+        sf_dir,
+        """
+        SELECT l_returnflag, l_linestatus,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """,
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations
+# --------------------------------------------------------------------------
+@query(
+    "setop_union_all",
+    oracle="""
+    SELECT nk, COUNT(*) AS n FROM (
+      SELECT c_nationkey AS nk FROM customer
+      UNION ALL
+      SELECT s_nationkey AS nk FROM supplier
+    ) u GROUP BY nk
+    """,
+)
+def setop_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL + re-aggregation (union is a no-shuffle concat in Spark)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.unionByName(s).groupBy("nk").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "setop_intersect",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+)
+def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics — planned as a left-semi aggregate)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return c.intersect(s)
+
+
+@query(
+    "setop_except",
+    oracle="""
+    SELECT c_nationkey AS nk FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nk FROM supplier WHERE s_acctbal > 5000
+    """,
+)
+def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT distinct semantics (anti-join under the hood) — nations with
+    customers but no high-balance suppliers (filter keeps it non-empty)."""
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = (
+        load(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 5000)
+        .select(F.col("s_nationkey").alias("nk"))
+    )
+    return c.subtract(s)
+
+
+# --------------------------------------------------------------------------
+# Events: time buckets, JSON, sessionization
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling-window aggregation (batch analog of a streaming
+    window; the streaming/ module runs the same logic incrementally).
+    Bucket emitted as a string because events.ts is ns-precision."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@query(
+    "events_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction from the props column (semi-structured
+    path: get_json_object stays JVM-side, no UDF)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(F.get_json_object("props", "$.k").cast("int")), 4).alias("avg_k"),
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sessions,
+           COUNT(*) AS n_events
+    FROM gaps
+    GROUP BY user_id
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via LAG + conditional
+    count — the classic shuffle-once sessionizer.  Timestamps compared as
+    floored epoch seconds (ns-precision-safe).  Scale: one shuffle on
+    user_id; skewed power users handled by AQE."""
+    e = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select("user_id", sec.alias("sec"), (sec - F.lag(sec).over(w)).alias("gap"))
+    return gaps.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("gap").isNull() | (F.col("gap") > 1800), 1).otherwise(0)
+        ).cast("bigint").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+@query(
+    "events_pivot_daily",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event-type pivot (explicit value list → single-pass plan, no
+    extra distinct-values job)."""
+    e = load(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", kinds)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, kinds)
+    )
+
+
+@query(
+    "agg_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) in one aggregate (expand + two-phase agg)."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
