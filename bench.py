@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: one JSON line to stdout).
+
+Runs the headline query set at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints
+``{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Analog of the reference's TPC-H harness (``tpc/src/main.rs:143-288``): it
+times each query's full execution (plan + all stages), not just plan
+construction.  Results are forced with the ``noop`` sink so the measurement
+includes every operator but excludes driver-side materialization — the same
+posture as the reference's ``collect`` into a discarded Vec.
+
+The headline list is a FIXED set so per-round BENCH_r{N}.json values stay
+comparable as the corpus grows; entries are skipped silently if a query is
+not (yet) registered.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
+from datafusion_parallelism_spark.session import get_spark  # noqa: E402
+
+#: Fixed headline set: the reference's own subject (multi-join TPC-H) plus
+#: one representative per capability family (window, sessionize, dedup, ANN).
+HEADLINE = [
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q9",
+    "tpch_q18",
+    "tpch_q21",
+    "join_inner_chain",
+    "join_full_residual",
+    "window_rank_orders",
+    "events_sessionize",
+    "agg_count_distinct",
+    "text_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan without materializing rows on the driver."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # Warm the JVM + parquet footer caches once so per-query times measure
+    # execution, not first-touch class loading (reference warms 30 s).
+    _force(REGISTRY["tpch_q1"].fn(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        _force(REGISTRY[name].fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_corpus_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
