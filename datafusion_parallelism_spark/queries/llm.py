@@ -1,1 +1,659 @@
-"""LLM-pipeline corpus: dedup, similarity, text, multimodal (filled in incrementally)."""
+"""LLM training-data pipeline corpus: dedup, similarity search, text analysis.
+
+These operators go beyond the reference's surface (SURVEY §7.6): they are the
+data-processing layer a 100 TB pretraining pipeline needs.  Every query stays
+JVM-side (no Python UDFs in the hot path) and carries a DuckDB oracle so the
+driver hash-matches it like any SQL query.
+
+Portability contract with the oracle:
+* 60-bit portable hash: Spark ``conv(substr(md5(x),1,15),16,10)::long`` ==
+  DuckDB ``CAST('0x' || substr(md5(x),1,15) AS BIGINT)`` (verified bit-equal).
+* MinHash permutations ``(a_i·h + b_i) mod p`` with fixed literal ``a_i, b_i``
+  and ``p = 2^31 - 1`` — products stay < 2^62, no int64 overflow.
+* Floats are rounded on BOTH sides before thresholding/ranking so fp noise
+  cannot flip a filter or a top-k cutoff.
+
+Scale posture (100 TB): everything is expressed as hash-partitioned
+joins/aggregations over exploded token/shingle tables — the shapes that
+scale linearly with executors.  Pairwise work only ever happens AFTER a
+blocking step (shared shingle, LSH band bucket, sign-bit bucket), never as
+an unblocked cross join; the brute-force ANN variant broadcasts the (small)
+query set so the big side is never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    LANG_MARKERS,
+    STOPWORDS,
+    avg_token_len,
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+    token_count,
+    tokens,
+    word_shingles,
+)
+from ..functions.vectors import as_double, cosine
+from ..session import load
+from .registry import query
+
+# --------------------------------------------------------------------------
+# Portable hashing constants (mirrored verbatim into oracle SQL)
+# --------------------------------------------------------------------------
+P = 2_147_483_647  # 2^31 - 1
+N_PERMS = 16
+BAND_ROWS = 4  # 4 bands x 4 rows
+PERMS = [((2 * i + 1) * 1_000_003 % P, (i * 7_919 + 104_729) % P) for i in range(N_PERMS)]
+SIMHASH_BITS = 32
+
+JACCARD_THRESHOLD = 0.8  # driver corpus plants ~0.99-jaccard near-dup pairs
+COSINE_THRESHOLD = 0.45  # embeddings are clustered but not duplicated
+
+
+def _phash(col: Column) -> Column:
+    """Portable 60-bit hash (same value in DuckDB; see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def _phash_sql(expr: str) -> str:
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+# DuckDB-side shared fragments -------------------------------------------------
+_TOKS_SQL = "string_split(text, ' ')"
+_LTOKS_SQL = "string_split(lower(text), ' ')"
+_SHINGLES_SQL = (
+    "list_transform(range(1, greatest(len({t}) - 2, 1) + 1), "
+    "i -> array_to_string(list_slice({t}, i, i + 2), ' '))"
+).format(t=_TOKS_SQL)
+_STOP_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+_PUNCT_SQL = (
+    "length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) * 1.0 / length(text)"
+)
+_STOPRATIO_SQL = (
+    f"len(list_filter({_LTOKS_SQL}, x -> x IN ({_STOP_LIST}))) * 1.0 / len({_LTOKS_SQL})"
+)
+
+
+def _lang_case_sql() -> str:
+    whens = []
+    for lang, markers in LANG_MARKERS.items():  # insertion order = priority
+        mlist = ", ".join(f"'{m}'" for m in markers)
+        whens.append(
+            f"WHEN len(list_filter({_LTOKS_SQL}, x -> x IN ({mlist}))) > 0 THEN '{lang}'"
+        )
+    return "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+
+
+# ==========================================================================
+# Text analysis
+# ==========================================================================
+@query(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_subtokens,
+           ROUND({_PUNCT_SQL}, 6) AS punct_ratio,
+           ROUND((length(text) - (len({_TOKS_SQL}) - 1)) * 1.0 / len({_TOKS_SQL}), 6)
+             AS avg_token_len
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token statistics — whitespace tokens, BPE-ish sub-word
+    count (alpha runs / digit runs / single symbols), punctuation ratio,
+    mean token length.  All JVM-side string kernels; scales as a pure map
+    over the scan (no shuffle)."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        token_count(t).alias("n_tokens"),
+        bpe_ish_token_count(t).alias("n_subtokens"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(avg_token_len(t), 6).alias("avg_token_len"),
+    )
+
+
+@query(
+    "text_language_id",
+    oracle=f"""
+    SELECT lang, {_lang_case_sql()} AS lang_pred, COUNT(*) AS n
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID vs the labeled ``lang`` column (confusion
+    counts).  Map + one small aggregation; the marker table would be a
+    broadcast dictionary at production scale."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_quality",
+    oracle=f"""
+    SELECT CAST(ROUND(
+             (CASE WHEN len({_TOKS_SQL}) >= 50 THEN 0.4
+                   WHEN len({_TOKS_SQL}) >= 20 THEN 0.25
+                   ELSE 0.1 END)
+           + (CASE WHEN {_STOPRATIO_SQL} > 0.01 THEN 0.3 ELSE 0.1 END)
+           + (CASE WHEN {_PUNCT_SQL} < 0.05 THEN 0.3 ELSE 0.0 END), 2) AS DOUBLE) AS score,
+           COUNT(*) AS n
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality-score histogram (length / stopword-density /
+    punctuation components — the classic pretraining-filter shape)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.round(quality_score(F.col("text")), 2).alias("score"))
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "text_stopword_profile",
+    oracle=f"""
+    SELECT source,
+           ROUND(AVG({_STOPRATIO_SQL}), 6) AS avg_stop_ratio,
+           ROUND(AVG(len({_TOKS_SQL})), 4) AS avg_tokens
+    FROM documents
+    GROUP BY source
+    """,
+)
+def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile (stopword density + mean length) — the
+    aggregate view a data-mixing dashboard reads."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("source").agg(
+        F.round(F.avg(stopword_ratio(t)), 6).alias("avg_stop_ratio"),
+        F.round(F.avg(token_count(t).cast("double")), 4).alias("avg_tokens"),
+    )
+
+
+# ==========================================================================
+# Deduplication
+# ==========================================================================
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content fingerprint (md5 of whitespace-normalized
+    lowercase text): hash-groupBy keeping the lowest doc_id.  One shuffle
+    on a 128-bit key — the canonical 100 TB exact-dedup plan."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _shingle_table(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct 3-word shingles."""
+    return d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias("s"),
+    )
+
+
+_SHINGLE_CTE = f"""
+    sh AS (
+      SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+"""
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(c * 1.0 / (ca.n + cb.n - c), 4) AS jaccard
+    FROM shared
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE ROUND(c * 1.0 / (ca.n + cb.n - c), 4) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    (explode → self-join on shingle → count shared → Jaccard).  The join is
+    blocked on the shingle value, so cost is Σ df(s)² over shingles, not
+    |docs|²; hot shingles are the skew risk and AQE's skew-join split is
+    the mitigation (reference analog: work-stealing repartition, SURVEY
+    A22)."""
+    d = load(spark, sf_dir, "documents")
+    sh = _shingle_table(d)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")), 4)
+    return (
+        shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _minhash_sigs(d: DataFrame) -> DataFrame:
+    """doc_id + m0..m{N_PERMS-1} MinHash signature columns (single shuffle:
+    16 min-aggregates over the exploded shingle table — no per-permutation
+    explode)."""
+    sh = _shingle_table(d).select("doc_id", (_phash(F.col("s")) % P).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{i}")
+        for i, (a, b) in enumerate(PERMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def _minhash_sigs_sql() -> str:
+    aggs = ", ".join(
+        f"MIN(({a} * h + {b}) % {P}) AS m{i}" for i, (a, b) in enumerate(PERMS)
+    )
+    return f"""
+    hashes AS (
+      SELECT doc_id, {_phash_sql('s')} % {P} AS h FROM sh
+    ),
+    sigs AS (SELECT doc_id, {aggs} FROM hashes GROUP BY doc_id)
+    """
+
+
+def _band_cols(i: int) -> list[str]:
+    return [f"m{j}" for j in range(i * BAND_ROWS, (i + 1) * BAND_ROWS)]
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    {_minhash_sigs_sql()},
+    bands AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, {i} AS band, concat_ws('-', {', '.join(_band_cols(i))}) AS sig FROM sigs"
+          for i in range(N_PERMS // BAND_ROWS)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+    ),
+    shared AS (
+      SELECT c.doc_a, c.doc_b, COUNT(*) AS c
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    )
+    SELECT s.doc_a, s.doc_b,
+           ROUND(s.c * 1.0 / (ca.n + cb.n - s.c), 4) AS jaccard
+    FROM shared s
+    JOIN cnt ca ON ca.doc_id = s.doc_a
+    JOIN cnt cb ON cb.doc_id = s.doc_b
+    WHERE ROUND(s.c * 1.0 / (ca.n + cb.n - s.c), 4) >= {JACCARD_THRESHOLD}
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup detection: shingle → 16-permutation MinHash
+    signature (one aggregation, no explode-per-permutation) → 4×4 banding →
+    bucket self-join on (band, signature) → exact-Jaccard verification of
+    candidates only.  This is the 100 TB path: candidate generation touches
+    each doc once per band, and the quadratic verify step runs only inside
+    LSH buckets."""
+    d = load(spark, sf_dir, "documents")
+    sigs = _minhash_sigs(d)
+    n_bands = N_PERMS // BAND_ROWS
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.concat_ws("-", *_band_cols(i)).alias("sig"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("doc_id", "bs.band", "bs.sig")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = _shingle_table(d)
+    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    shared = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.s") == F.col("sa.s")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    jac = F.round(F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")), 4)
+    return (
+        shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_sql_bits() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    sig = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
+    return f"""
+    th AS (
+      SELECT doc_id, {_phash_sql('t')} % {P} AS h
+      FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents)
+    ),
+    bitsums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
+    simhashes AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bitsums)
+    """
+
+
+def _simhash(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 32-bit SimHash over token-frequency-weighted
+    bit votes — one explode + one aggregation."""
+    th = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t")).select(
+        "doc_id", (_phash(F.col("t")) % P).alias("h")
+    )
+    sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"s{b}")
+        for b in range(SIMHASH_BITS)
+    ]
+    bitsums = th.groupBy("doc_id").agg(*sums)
+    sig = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{b}") >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sig = term if sig is None else sig + term
+    return bitsums.select("doc_id", sig.cast("long").alias("simhash"))
+
+
+@query(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_simhash_sql_bits()}
+    SELECT doc_id, simhash FROM simhashes
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 32-bit SimHash signature (frequency-weighted bit votes
+    over portable token hashes).  Pure map + single aggregation — the
+    signature table a banded hamming-join consumes."""
+    return _simhash(load(spark, sf_dir, "documents"))
+
+
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH {_simhash_sql_bits()},
+    bytes AS (
+      {" UNION ALL ".join(
+          f"SELECT doc_id, simhash, {k} AS bk, (simhash >> {8 * k}) & 255 AS bv FROM simhashes"
+          for k in range(4)
+      )}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
+                      b.doc_id AS doc_b, b.simhash AS sim_b
+      FROM bytes a JOIN bytes b
+        ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    """,
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs with hamming distance ≤ 6, blocked by the
+    pigeonhole trick: split the 32-bit signature into 4 bytes; any pair
+    within hamming 6 of a 4-way split shares at least one exact byte, so
+    the self-join is on (byte index, byte value) buckets — never all
+    pairs."""
+    sigs = _simhash(load(spark, sf_dir, "documents"))
+    bytes_df = sigs.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).alias("bk"),
+                        F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(255).alias("bv"),
+                    )
+                    for k in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.bk", "b.bv")
+    a, b = bytes_df.alias("a"), bytes_df.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.bk") == F.col("b.bk"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= 6
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[])), 4) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                       CAST(b.embedding AS DOUBLE[])), 4)
+          >= {COSINE_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force all-pairs baseline —
+    correctness oracle for the LSH-bucketed variant below; at 100 TB only
+    the bucketed variant runs).  Cosine computed JVM-side with
+    higher-order functions in double precision, rounded before the
+    threshold so both engines cut identically."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cos"),
+        )
+        .filter(F.col("cos") >= COSINE_THRESHOLD)
+    )
+
+
+# ==========================================================================
+# Similarity search (ANN)
+# ==========================================================================
+_N_QUERY_VECS = 10
+_TOPK = 5
+
+
+@query(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings q JOIN embeddings c ON c.vec_id >= {_N_QUERY_VECS}
+      WHERE q.vec_id < {_N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_TOPK}
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k: the small query set (vec_id < 10) is
+    BROADCAST against the candidate corpus, so the big side streams through
+    map tasks without a shuffle; per-query top-k via window over rounded
+    cosine with vec_id tiebreak (deterministic cutoff).  This is the exact
+    baseline the bucketed variant is measured against."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = c.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
+_BUCKET_DIMS = 4  # sign bits of the first 4 dimensions → 16 buckets
+
+
+def _bucket_sql(alias: str) -> str:
+    terms = " + ".join(
+        f"(CASE WHEN {alias}.embedding[{i + 1}] >= 0 THEN {1 << (_BUCKET_DIMS - 1 - i)} ELSE 0 END)"
+        for i in range(_BUCKET_DIMS)
+    )
+    return f"({terms})"
+
+
+def _bucket_col(v: Column) -> Column:
+    out = None
+    for i in range(_BUCKET_DIMS):
+        term = F.when(v.getItem(i) >= 0, F.lit(1 << (_BUCKET_DIMS - 1 - i))).otherwise(F.lit(0))
+        out = term if out is None else out + term
+    return out
+
+
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings q
+      JOIN embeddings c
+        ON {_bucket_sql('q')} = {_bucket_sql('c')} AND c.vec_id >= {_N_QUERY_VECS}
+      WHERE q.vec_id < {_N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_TOPK}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-k: random-hyperplane signs (axis planes
+    over the first 4 dims, deterministic) assign every vector to one of 16
+    buckets; each query probes only its own bucket.  The scale path: the
+    bucket id is a shuffle key, so the search is an equi-join — candidate
+    scoring cost drops by ~the bucket count, and the same plan holds with
+    1000 executors (add more planes for more buckets)."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        _bucket_col(F.col("embedding")).alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), "bucket").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", "cos")
+    )
