@@ -7,8 +7,10 @@ plans).  This module re-expresses that query corpus over the driver's
 synthetic star schema.  The driver tables are a REDUCED TPC-H (no
 ``partsupp``; lineitem lacks commitdate/receiptdate/shipmode/shipinstruct;
 orders lacks shippriority/clerk) so queries needing missing columns are
-adapted — each docstring says how.  Queries q2/q11/q16/q20 require
-``partsupp`` and are intentionally absent.
+adapted — each docstring says how.  Queries q2/q11/q16/q20 need ``partsupp``;
+they are adapted with lineitem's (l_partkey, l_suppkey) pairs as the
+part↔supplier bridge, preserving each query's structural shape (correlated
+scalar subquery, HAVING vs global scalar, NOT IN, nested IN).
 
 Entry-point parity: about half the corpus goes through the DataFrame API
 (reference entry point 2, ``ctx.sql(...).collect()`` DataFrame flavor) and
@@ -776,3 +778,132 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_nationkey
         """,
     )
+
+
+# --------------------------------------------------------------------------
+# q2 — minimum cost supplier (adapted: no partsupp table; lineitem's
+# (l_partkey, l_suppkey, min l_extendedprice) is the part↔supplier bridge)
+# --------------------------------------------------------------------------
+_Q2 = """
+WITH ps AS (
+  SELECT l_partkey, l_suppkey, ROUND(MIN(l_extendedprice), 2) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost
+FROM part
+JOIN ps ON p_partkey = ps.l_partkey
+JOIN supplier ON s_suppkey = ps.l_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND cost = (
+    SELECT MIN(ps2.cost) FROM ps ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.l_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.l_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+@query("tpch_q2", oracle=_Q2)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q2 adapted (no partsupp): supplycost := min l_extendedprice per
+    (part, supplier) derived from lineitem.  Preserves the query's defining
+    shape — a correlated scalar MIN subquery over a 4-way dimension join,
+    decorrelated by Catalyst into an aggregate + join.  Scale: ps is a
+    lineitem-sized aggregation (shuffle on part+supp key); all four
+    dimension tables broadcast."""
+    return _sql(spark, sf_dir, _Q2)
+
+
+# --------------------------------------------------------------------------
+# q11 — important stock identification (adapted: stock value from lineitem,
+# supplier region scope instead of single nation)
+# --------------------------------------------------------------------------
+_Q11 = """
+WITH ps AS (
+  SELECT l_partkey, ROUND(SUM(l_extendedprice * l_quantity), 2) AS value
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS ps_partkey, value
+FROM ps
+WHERE value > (SELECT SUM(value) * 0.0012 FROM ps)
+ORDER BY value DESC, ps_partkey
+"""
+
+
+@query("tpch_q11", oracle=_Q11)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q11 adapted (no partsupp): per-part value aggregated from
+    lineitem for EUROPE suppliers, HAVING value > fraction * global total —
+    the group-agg-vs-global-scalar-subquery shape.  Scale: the CTE is one
+    shuffled agg; the scalar total is a tiny second agg over it (Spark
+    reuses the exchange under AQE)."""
+    return _sql(spark, sf_dir, _Q11)
+
+
+# --------------------------------------------------------------------------
+# q16 — parts/supplier relationship (adapted: bridge via lineitem; the
+# "complaints" NOT IN exclusion keyed on negative account balance)
+# --------------------------------------------------------------------------
+_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#23' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query("tpch_q16", oracle=_Q16)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q16 adapted (no partsupp/s_comment): COUNT(DISTINCT supplier)
+    per part attribute group with a NOT IN exclusion subquery (→ null-aware
+    anti join).  Scale: distinct-agg expands then re-shuffles; the NOT IN
+    side is dimension-sized and broadcast."""
+    return _sql(spark, sf_dir, _Q16)
+
+
+# --------------------------------------------------------------------------
+# q20 — potential part promotion (adapted: "excess stock" := supplier's 1997
+# shipped quantity of a red part exceeding 30% of that part's total)
+# --------------------------------------------------------------------------
+_Q20 = """
+SELECT s_name, s_acctbal
+FROM supplier JOIN nation ON s_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND s_suppkey IN (
+    SELECT ps.l_suppkey FROM (
+      SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_suppkey, l_partkey
+    ) ps
+    WHERE ps.l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      AND ps.qty > (
+        SELECT 0.3 * SUM(l2.l_quantity) FROM lineitem l2
+        WHERE l2.l_partkey = ps.l_partkey
+          AND l2.l_shipdate >= TIMESTAMP '1997-01-01' AND l2.l_shipdate < TIMESTAMP '1998-01-01'
+      )
+  )
+ORDER BY s_name
+"""
+
+
+@query("tpch_q20", oracle=_Q20)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H q20 adapted (no partsupp availqty): doubly-nested IN subqueries
+    with a correlated scalar SUM — the decorrelation stress test (IN →
+    LeftSemi, correlated scalar → agg + join).  Quantities are integral so
+    the 0.3*total comparison is fp-stable."""
+    return _sql(spark, sf_dir, _Q20)
