@@ -14,5 +14,6 @@ from . import joins  # noqa: E402,F401
 from . import tpch  # noqa: E402,F401
 from . import analytics  # noqa: E402,F401
 from . import llm  # noqa: E402,F401
+from . import multimodal  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,76 @@
+"""Multimodal pipeline: oracle check for asset plumbing, determinism +
+schema/shape checks for the Pandas-UDF stages."""
+
+import pytest
+
+from datafusion_parallelism_spark.operators.multimodal import (
+    FEATURE_DIM,
+    FRAME_STRIDE,
+    build_assets,
+)
+from datafusion_parallelism_spark.queries import REGISTRY
+from datafusion_parallelism_spark.session import load
+from datafusion_parallelism_spark.testing import compare_to_oracle
+
+
+def test_assets_summary_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_assets_summary"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
+
+
+def test_asset_payload_length_matches_meta(spark, sf_dir):
+    assets = build_assets(load(spark, sf_dir, "documents"))
+    bad = assets.filter("length(payload) <> meta.n_bytes").count()
+    assert bad == 0
+
+
+def test_image_features_schema_and_dim(spark, sf_dir):
+    df = REGISTRY["mm_image_features"].fn(spark, sf_dir)
+    assert df.columns == ["doc_id", "modality", "n_bytes", "features"]
+    rows = df.collect()
+    n_docs = load(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs  # one feature row per asset
+    for r in rows[:20]:
+        assert len(r.features) == FEATURE_DIM
+        assert 0.0 <= r.features[0] <= 255.0  # mean of uint8 buffer
+
+
+def test_image_features_deterministic(spark, sf_dir):
+    fn = REGISTRY["mm_image_features"].fn
+    a = {r.doc_id: r.features for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: r.features for r in fn(spark, sf_dir).collect()}
+    assert a == b
+
+
+def test_resize_dims_and_checksum_range(spark, sf_dir):
+    df = REGISTRY["mm_resize_images"].fn(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no image assets"
+    for r in rows:
+        assert (r.out_width, r.out_height) == (16, 16)
+        assert 0 <= r.checksum <= 255 * 16 * 16
+
+
+def test_frame_sample_counts(spark, sf_dir):
+    assets = build_assets(load(spark, sf_dir, "documents"))
+    videos = {
+        r.doc_id: r["meta"]["n_frames"]
+        for r in assets.filter("modality = 'video'").select("doc_id", "meta").collect()
+    }
+    df = REGISTRY["mm_frame_sample"].fn(spark, sf_dir)
+    got = df.groupBy("doc_id").count().collect()
+    assert len(got) == len(videos)
+    for r in got:
+        n = videos[r.doc_id]
+        assert r["count"] == -(-n // FRAME_STRIDE)  # ceil(n / stride)
+
+
+def test_mapinpandas_is_narrow(spark, sf_dir):
+    """The decode stage must not introduce a shuffle: no Exchange between
+    the scan and the Python map stage."""
+    df = REGISTRY["mm_image_features"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
