@@ -1,0 +1,131 @@
+"""Plan-shape assertions — the Spark analog of the reference's physical-plan
+downcast checks (src/lib.rs:728-753 and the asserts it powers).
+
+Each test pins an optimizer behavior the engine depends on at 100 TB:
+decorrelation, outer-join elimination, join-strategy selection, predicate
+pushdown, column pruning, whole-stage codegen.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_parallelism_spark.operators.joins import equi_join
+from datafusion_parallelism_spark.plans import (
+    explain_str,
+    forced_join_strategy,
+    join_kinds,
+    physical_plan_str,
+    pushed_filters,
+    read_schemas,
+)
+from datafusion_parallelism_spark.queries import REGISTRY
+from datafusion_parallelism_spark.session import load, register_tables
+
+
+def test_exists_decorrelates_to_left_semi(spark, sf_dir):
+    """EXISTS → LeftSemi (reference assert: src/lib.rs:357-358)."""
+    kinds = join_kinds(REGISTRY["tpch_q4"].fn(spark, sf_dir))
+    assert any(t == "LeftSemi" for _, t in kinds), kinds
+
+
+def test_not_exists_decorrelates_to_left_anti(spark, sf_dir):
+    """NOT EXISTS → LeftAnti (reference assert: src/lib.rs:422-423)."""
+    register_tables(spark, sf_dir)
+    df = spark.sql(
+        "SELECT c_custkey FROM customer WHERE NOT EXISTS "
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+    )
+    kinds = join_kinds(df)
+    assert any(t == "LeftAnti" for _, t in kinds), kinds
+
+
+def test_full_outer_isnotnull_eliminates_outer(spark, sf_dir):
+    """FULL OUTER + WHERE side IS NOT NULL loses FullOuter (reference
+    assert: planned as a Right join, src/lib.rs:475-487)."""
+    kinds = join_kinds(REGISTRY["join_full_isnotnull"].fn(spark, sf_dir))
+    assert kinds and all(t != "FullOuter" for _, t in kinds), kinds
+
+
+def test_small_dimension_join_broadcasts(spark, sf_dir):
+    """nation (25 rows) must broadcast, not shuffle the fact side."""
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    df = equi_join(c, n, [("c_nationkey", "n_nationkey")])
+    with forced_join_strategy(spark, "broadcast"):
+        kinds = join_kinds(df)
+    assert ("BroadcastHashJoin", "Inner") in kinds, kinds
+
+
+def test_forced_shuffled_hash_join(spark, sf_dir):
+    """The shuffle_hash hint forces ShuffledHashJoin — the reference's
+    PartitionMode::Partitioned subject (use_parallel_hash_join_rule.rs:80-86),
+    with the hint playing the role of replacement_required."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    kinds = join_kinds(equi_join(o, c.hint("shuffle_hash"), [("o_custkey", "c_custkey")]))
+    assert ("ShuffledHashJoin", "Inner") in kinds, kinds
+
+
+def test_forced_sort_merge_join(spark, sf_dir):
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    with forced_join_strategy(spark, "sort_merge"):
+        kinds = join_kinds(equi_join(o, c, [("o_custkey", "c_custkey")]))
+    assert ("SortMergeJoin", "Inner") in kinds, kinds
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 40).select(
+        "l_orderkey"
+    )
+    pf = pushed_filters(df)
+    assert any("GreaterThan(l_quantity" in f for f in pf), pf
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    df = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = read_schemas(df)
+    assert schemas, "no ReadSchema in explain"
+    assert schemas[0] == "struct<l_orderkey:bigint,l_quantity:double>", schemas
+
+
+def test_partition_pruning_like_filter_on_timestamp(spark, sf_dir):
+    """Timestamp filters must be pushed (min/max row-group pruning at
+    scale)."""
+    df = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp")
+    )
+    pf = pushed_filters(df)
+    assert any("LessThan(l_shipdate" in f for f in pf), pf
+
+
+def test_q1_runs_in_whole_stage_codegen(spark, sf_dir):
+    """The scan→filter→partial-agg pipeline of q1 must run inside
+    WholeStageCodegen spans (the Tungsten fast path).  AQE only reveals
+    codegen in the FINAL plan, so execute first, then inspect."""
+    df = REGISTRY["tpch_q1"].fn(spark, sf_dir)
+    df.collect()
+    plan = physical_plan_str(df)
+    assert "HashAggregate" in plan
+    import re
+
+    # `*(n)` node prefixes mark whole-stage-codegen spans in plan strings.
+    assert re.search(r"\*\(\d+\)", plan), plan
+
+
+def test_aggregation_is_partial_then_final(spark, sf_dir):
+    """groupBy must plan partial (map-side) + final HashAggregate around
+    one exchange — the shape that keeps the q1 shuffle at 6 rows/task."""
+    plan = physical_plan_str(REGISTRY["tpch_q1"].fn(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange hashpartitioning" in plan, plan
+
+
+def test_broadcast_join_has_no_shuffle_of_fact_side(spark, sf_dir):
+    """Broadcast join must not exchange the big side at all."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    df = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_orderkey", "p_brand")
+    plan = physical_plan_str(df)
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan, plan
