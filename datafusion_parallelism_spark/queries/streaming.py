@@ -1,0 +1,93 @@
+"""Streaming corpus entries.
+
+Each query executes a Structured Streaming plan to completion over the
+available files (``trigger(availableNow)``) into a memory sink and returns
+the result table — so the driver's correctness gate can hash-match
+streaming semantics against a batch DuckDB oracle where event-time
+semantics are SQL-expressible (tumbling windows, final running totals).
+Session windows keep ``oracle=None``: gap-based session boundaries are a
+stateful construct with no portable single-statement SQL equivalent
+(the batch twin is pinned in tests/test_streaming.py instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..streaming.events import (
+    hourly_counts_stream,
+    read_events_stream,
+    run_to_memory,
+    session_windows_stream,
+    user_running_totals_stream,
+)
+from .registry import query
+
+
+@query(
+    "stream_hourly_counts",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d %H:00') AS hour_bucket,
+           event_type,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows with watermark, executed as an
+    incremental stream; the complete-mode result must equal the batch
+    aggregation (same rows DuckDB computes)."""
+    run_to_memory(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_hourly",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_hourly").select(
+        F.date_format("hour_start", "yyyy-MM-dd HH:00").alias("hour_bucket"),
+        "event_type",
+        "n",
+        "value_sum",
+    )
+
+
+@query(
+    "stream_user_running_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS value_total
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState) run to completion:
+    the final per-user running totals must equal the batch group-by."""
+    run_to_memory(
+        user_running_totals_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_totals",
+        output_mode="update",
+    )
+    totals = spark.table("q_stream_totals")
+    # update mode emits one row per key per micro-batch; keep the last.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        totals.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("value_total", 2).alias("value_total"))
+    )
+
+
+@query("stream_session_windows", oracle=None)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows under a watermark (built-in
+    session_window); batch-equivalence pinned in tests."""
+    run_to_memory(
+        session_windows_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_sessions",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_sessions")
