@@ -27,7 +27,12 @@ import time
 
 from .plans.shaping import explain_str
 from .queries import REGISTRY
-from .session import get_spark
+from .session import (
+    AQE_MIN_INPUT_BYTES,
+    auto_shuffle_partitions,
+    dir_size,
+    get_spark,
+)
 from .sinks import write_csv
 from .sources.memory import materialize_tables
 
@@ -55,7 +60,11 @@ def run(argv: list[str] | None = None) -> dict:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
 
-    spark = get_spark(app_name="tpch-runner")
+    n_shuffle = auto_shuffle_partitions(args.data_path)
+    spark = get_spark(app_name="tpch-runner", shuffle_partitions=n_shuffle)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    if dir_size(args.data_path) < AQE_MIN_INPUT_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
     cached = materialize_tables(spark, args.data_path) if args.from_memory else None

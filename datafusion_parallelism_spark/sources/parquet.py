@@ -30,8 +30,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+_NANOS_CACHE: dict[str, list[str]] = {}
+
+
 def _nanos_timestamp_columns(path: str) -> list[str]:
-    """Column names stored as timestamp[ns], from the parquet footer."""
+    """Column names stored as timestamp[ns], from the parquet footer.
+    Cached per path — the footer is immutable test data and every
+    ``load()`` call would otherwise re-read it on the driver."""
+    if path in _NANOS_CACHE:
+        return _NANOS_CACHE[path]
     try:
         schema = pq.read_schema(path)
     except Exception:
@@ -43,11 +50,13 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
         if not parts:
             return []
         schema = pq.read_schema(parts[0])
-    return [
+    cols = [
         f.name
         for f in schema
         if patypes.is_timestamp(f.type) and f.type.unit == "ns"
     ]
+    _NANOS_CACHE[path] = cols
+    return cols
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
