@@ -1,0 +1,73 @@
+"""Iterative graph operators on DataFrames (dedup cluster resolution).
+
+Near-dup detection emits PAIRS; a dedup pipeline must resolve them into
+clusters and pick one canonical doc per cluster.  That is connected
+components — an inherently iterative algorithm the reference's SQL surface
+cannot express (and the class of computation its bounded-execution model
+never covers).
+
+Implementation: minimum-label propagation.  Each node starts labeled with
+itself; every iteration takes the min of its own label and its neighbors'
+labels; converged when the global label sum stops changing (it decreases
+monotonically, so equality == fixpoint).  Iterations = graph diameter,
+which for near-dup clusters is tiny (clusters are cliques or near-cliques
+from LSH banding).
+
+Scale posture: each iteration is one shuffled join edges⋈labels + one
+aggregation — all distributed; the driver only compares two scalar sums
+per iteration.  Lineage is truncated with localCheckpoint every iteration
+so plans stay O(1) deep regardless of iteration count (the standard Spark
+iterative-algorithm hygiene).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+) -> DataFrame:
+    """Connected components of an undirected graph.
+
+    ``edges``: DataFrame with two columns (u, v) — one row per edge (either
+    orientation).  Returns DataFrame (node, cluster) where cluster is the
+    minimum node id in the component.  Nodes appear iff they occur in an
+    edge (callers union isolated nodes if needed).
+    """
+    u, v = edges.columns[:2]
+    und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
+        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
+    ).distinct()
+
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "cluster", F.col("node")
+    )
+    if checkpoint:
+        labels = labels.localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+        )
+        if checkpoint:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    return labels

@@ -657,3 +657,41 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+# ==========================================================================
+# Cluster resolution (iterative; consumes the MinHash pair graph)
+# ==========================================================================
+from ..operators.graph import connected_components  # noqa: E402
+from .registry import REGISTRY as _REGISTRY  # noqa: E402
+
+_CLUSTERS_ORACLE = f"""
+WITH RECURSIVE pairs AS ({{pairs}}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+)
+SELECT u AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY u
+"""
+
+
+@query(
+    "dedup_near_clusters",
+    oracle=_CLUSTERS_ORACLE.format(pairs=_REGISTRY["dedup_minhash_lsh"].oracle.strip()),
+)
+def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the
+    MinHash-LSH pair graph via iterative min-label propagation
+    (operators/graph.py) — cluster_id = lowest doc_id in the component,
+    i.e. the canonical document a dedup pipeline keeps.  Iterative and
+    thus outside the reference's bounded-SQL surface; the oracle uses a
+    recursive CTE over the identical pair query."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
+    cc = connected_components(pairs)
+    return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))

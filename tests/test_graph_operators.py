@@ -1,0 +1,25 @@
+"""connected_components unit tests (chain, cycle, disjoint components)."""
+
+
+from datafusion_parallelism_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    out = connected_components(df)
+    return {r.node: r.cluster for r in out.collect()}
+
+
+def test_chain_collapses_to_min(spark):
+    # 1-2-3-4-5 chain: diameter > 1 forces multiple propagation rounds.
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_cycle_and_disjoint_components(spark):
+    got = _cc(spark, [(10, 11), (11, 12), (12, 10), (20, 21), (30, 31)])
+    assert got == {10: 10, 11: 10, 12: 10, 20: 20, 21: 20, 30: 30, 31: 30}
+
+
+def test_edge_orientation_irrelevant(spark):
+    assert _cc(spark, [(2, 1), (3, 2)]) == _cc(spark, [(1, 2), (2, 3)])
