@@ -352,3 +352,51 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_partkey").alias("n_part"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# As-of join (custom operator; DuckDB's native ASOF JOIN is the oracle)
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_last_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_value, c.click_id, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: each purchase joined to the user's most
+    recent click at-or-before it (operators/asof.py, union+window — one
+    key shuffle, no range-join expansion).  Clicks are deduped to one row
+    per (user, ts) with max_by so tie resolution is deterministic in both
+    engines; the oracle is DuckDB's NATIVE ASOF JOIN."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts"
+    ).select("user_id", "purchase_id", "purchase_value", "click_id", "click_value")
