@@ -695,3 +695,90 @@ def dedup_near_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_a", "doc_b")
     cc = connected_components(pairs)
     return cc.select(F.col("node").alias("doc_id"), F.col("cluster").alias("cluster_id"))
+
+
+# ==========================================================================
+# Similarity search: IVF (inverted-file) variant
+# ==========================================================================
+_IVF_K = 8  # deterministic centroids: vec_id < 8 (stand-in for k-means)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < {_IVF_K}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 6) AS s
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s DESC, cid) AS rn
+        FROM scored_cells
+      ) t WHERE rn = 1
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings q
+      JOIN assign aq ON aq.vec_id = q.vec_id
+      JOIN assign ac ON ac.cid = aq.cid
+      JOIN embeddings c ON c.vec_id = ac.vec_id AND c.vec_id >= {_N_QUERY_VECS}
+      WHERE q.vec_id < {_N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_TOPK}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: every vector is assigned to its nearest of 8
+    deterministic centroid vectors (vec_id < 8 — the k-means stand-in;
+    assignment is a BROADCAST cross-score + argmax, map-side only), and
+    each query probes exactly its own cell (nprobe=1).  Scale path: the
+    cell id is the shuffle key; adding centroids shrinks cells, and the
+    centroid table stays broadcast-sized by construction."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    cents = e.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored_cells = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("s"),
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    assign = (
+        scored_cells.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+    )
+    q = assign.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid"
+    )
+    c = assign.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "cid"
+    )
+    scored = c.join(F.broadcast(q), "cid").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", "cos")
+    )
