@@ -400,3 +400,32 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     return asof_join(
         purchases, clicks, on="user_id", left_ts="ts", right_ts="ts"
     ).select("user_id", "purchase_id", "purchase_value", "click_id", "click_value")
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregates (approximate; no SQL-exact oracle by construction)
+# --------------------------------------------------------------------------
+@query("agg_approx_distinct_users", oracle=None)
+def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct-user counts per event type (rsd 1%).
+    Approximate by design → rows-only driver check; the error bound vs the
+    exact count is pinned in tests/test_sketches.py.  At 100 TB this is
+    THE distinct-count: exact distinct shuffles every value, HLL merges
+    fixed-size sketches map-side."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query("agg_value_quantiles", oracle=None)
+def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (p50/p90/p99) of event value
+    per type (accuracy 1/10000).  Mergeable-sketch path, same scale story
+    as HLL; tolerance vs exact quantiles pinned in tests."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
