@@ -782,3 +782,43 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= _TOPK)
         .select("query_id", "neighbor_id", "cos")
     )
+
+
+_DEDUP_APPLY_ORACLE = """
+WITH RECURSIVE pairs AS ({pairs}),
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach(u, label) AS (
+  SELECT u, u AS label FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.label FROM edges e JOIN reach r ON r.u = e.v
+),
+drop_list AS (
+  SELECT u AS doc_id FROM reach GROUP BY u HAVING u <> MIN(label)
+)
+SELECT d.doc_id, d.lang, d.source FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM drop_list)
+"""
+
+
+@query(
+    "dedup_apply",
+    oracle=_DEDUP_APPLY_ORACLE.format(
+        pairs=_REGISTRY["dedup_minhash_lsh"].oracle.strip()
+    ),
+)
+def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup application: detect near-dup pairs (MinHash-LSH),
+    resolve clusters (iterative CC), DROP every non-canonical member, and
+    return the surviving corpus — the actual output table of a dedup
+    pipeline.  One LEFT ANTI join of documents against the (tiny) drop
+    list; at scale the drop list broadcasts."""
+    clusters = dedup_near_clusters(spark, sf_dir)
+    drop = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    d = load(spark, sf_dir, "documents")
+    return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )

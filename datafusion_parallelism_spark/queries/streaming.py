@@ -91,3 +91,28 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="complete",
     )
     return spark.table("q_stream_sessions")
+
+
+@query(
+    "stream_stream_join",
+    oracle="""
+    SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p
+    JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 30 MINUTE
+    """,
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (purchases × clicks within
+    30 minutes), run to completion; must equal the batch interval join
+    DuckDB computes."""
+    from ..streaming.events import purchase_click_join_stream
+
+    run_to_memory(
+        purchase_click_join_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_ssj",
+        output_mode="append",
+    )
+    return spark.table("q_stream_ssj")

@@ -152,3 +152,39 @@ def run_to_memory(stream_df: DataFrame, name: str, output_mode: str = "complete"
     )
     q.awaitTermination()
     return q
+
+
+def purchase_click_join_stream(events: DataFrame) -> DataFrame:
+    """STREAM-STREAM inner join: each purchase joined to the same user's
+    clicks in the preceding 30 minutes.  Both sides carry watermarks and
+    the join condition bounds event-time distance, so state for rows older
+    than (watermark + interval) is evicted — the bounded-state form of a
+    stream-stream join.  Append-mode output; batch twin = the identical
+    interval join, which is the test/driver oracle."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") <= F.col("p_ts"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES")),
+        "inner",
+    ).select(
+        F.col("p_user").alias("user_id"), "purchase_id", "click_id"
+    )
