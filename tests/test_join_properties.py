@@ -92,3 +92,41 @@ def test_residual_filter_matches_duckdb(spark, lids, rids):
         )
         want = _canon(con.execute(sql).fetchall())
         assert got == want, f"{how}: spark={got} duckdb={want}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture])
+@given(lids=_ids, rids=_ids, how=st.sampled_from(("inner", "left", "full", "left_semi")))
+def test_multi_key_join_matches_duckdb(spark, lids, rids, how):
+    """Composite-key joins (the reference's Vec<(expr, expr)> ``on`` list,
+    parallel_hash_join.rs:24): both key columns must match, nulls in either
+    key never match."""
+    n_l, n_r = len(lids), len(rids)
+    lpdf = pd.DataFrame({
+        "lid": pd.array(lids, dtype="Int64"),
+        "lid2": pd.array([i % 2 for i in range(n_l)], dtype="Int64"),
+        "lv": pd.array(range(n_l), dtype="Int64"),
+    })
+    rpdf = pd.DataFrame({
+        "rid": pd.array(rids, dtype="Int64"),
+        "rid2": pd.array([i % 2 for i in range(n_r)], dtype="Int64"),
+        "rv": pd.array(range(n_r), dtype="Int64"),
+    })
+    ldf = spark.createDataFrame(lpdf, schema="lid long, lid2 long, lv long")
+    rdf = spark.createDataFrame(rpdf, schema="rid long, rid2 long, rv long")
+    got = _canon(
+        tuple(r)
+        for r in equi_join(ldf, rdf, [("lid", "rid"), ("lid2", "rid2")], how=how).collect()
+    )
+    con = duckdb.connect()
+    con.register("l", lpdf)
+    con.register("r", rpdf)
+    sql = {
+        "inner": "SELECT l.*, r.* FROM l JOIN r ON l.lid = r.rid AND l.lid2 = r.rid2",
+        "left": "SELECT l.*, r.* FROM l LEFT JOIN r ON l.lid = r.rid AND l.lid2 = r.rid2",
+        "full": "SELECT l.*, r.* FROM l FULL JOIN r ON l.lid = r.rid AND l.lid2 = r.rid2",
+        "left_semi": "SELECT l.* FROM l WHERE EXISTS "
+        "(SELECT 1 FROM r WHERE r.rid = l.lid AND r.rid2 = l.lid2)",
+    }[how]
+    want = _canon(con.execute(sql).fetchall())
+    assert got == want, f"{how}: spark={got} duckdb={want}"
