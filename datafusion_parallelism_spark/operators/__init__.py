@@ -1,3 +1,12 @@
-from .joins import equi_join, JOIN_TYPES
+from .asof import asof_join
+from .graph import connected_components
+from .joins import JOIN_TYPES, equi_join
+from .skew import salted_join
 
-__all__ = ["equi_join", "JOIN_TYPES"]
+__all__ = [
+    "JOIN_TYPES",
+    "asof_join",
+    "connected_components",
+    "equi_join",
+    "salted_join",
+]
