@@ -607,17 +607,31 @@ def _bucket_col(v: Column) -> Column:
     return out
 
 
+#: Multi-probe set: own bucket + every Hamming-distance-1 bucket.
+_PROBE_XORS = [0] + [1 << i for i in range(_BUCKET_DIMS)]
+
+
 @query(
     "ann_lsh_topk",
     oracle=f"""
-    WITH scored AS (
+    WITH qb AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS b
+      FROM embeddings WHERE vec_id < {_N_QUERY_VECS}
+    ),
+    cb AS (
+      SELECT vec_id, embedding, {_bucket_sql('embeddings')} AS b
+      FROM embeddings WHERE vec_id >= {_N_QUERY_VECS}
+    ),
+    probes AS (
+      SELECT vec_id, embedding,
+             unnest([{", ".join(f"xor(b, {x})" for x in _PROBE_XORS)}]) AS pb
+      FROM qb
+    ),
+    scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
                                           CAST(c.embedding AS DOUBLE[])), 4) AS cos
-      FROM embeddings q
-      JOIN embeddings c
-        ON {_bucket_sql('q')} = {_bucket_sql('c')} AND c.vec_id >= {_N_QUERY_VECS}
-      WHERE q.vec_id < {_N_QUERY_VECS}
+      FROM probes q JOIN cb c ON c.b = q.pb
     )
     SELECT query_id, neighbor_id, cos FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -627,19 +641,25 @@ def _bucket_col(v: Column) -> Column:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-k: random-hyperplane signs (axis planes
-    over the first 4 dims, deterministic) assign every vector to one of 16
-    buckets; each query probes only its own bucket.  The scale path: the
-    bucket id is a shuffle key, so the search is an equi-join — candidate
-    scoring cost drops by ~the bucket count, and the same plan holds with
-    1000 executors (add more planes for more buckets)."""
+    """MULTI-PROBE LSH top-k: random-hyperplane signs (axis planes over the
+    first 4 dims, deterministic) bucket every vector into one of 16 cells;
+    each query probes its own cell plus all Hamming-distance-1 cells (5 of
+    16), recovering the neighbors single-probe LSH loses at bucket
+    boundaries (recall floor pinned in tests/test_ann_quality.py).  Scale
+    path: bucket id is the shuffle/join key and only the tiny query side is
+    multiplied ×5 — candidates are scored once per probe hit, never all
+    pairs."""
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
         _bucket_col(F.col("embedding")).alias("bucket"),
     )
     q = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(x)) for x in _PROBE_XORS])
+        ).alias("bucket"),
     )
     c = e.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
         F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
