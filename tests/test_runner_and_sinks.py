@@ -44,6 +44,14 @@ def test_materialize_tables_serves_cache(spark, sf_dir):
         release_tables(dfs)
 
 
+def test_runner_from_memory_mode(spark, sf_dir):
+    report = runner.run(
+        ["--data-path", sf_dir, "--query", "tpch_q6", "--iterations", "1", "--from-memory"]
+    )
+    assert report["from_memory"] is True
+    assert "tpch_q6" in report["queries"]
+
+
 def test_runner_cli_artifacts(spark, sf_dir, tmp_path):
     out = str(tmp_path / "results")
     report = runner.run(
