@@ -429,3 +429,57 @@ def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("quantiles"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# MERGE / upsert snapshot (operators/merge.py)
+# --------------------------------------------------------------------------
+@query(
+    "merge_orders_cdc",
+    oracle="""
+    WITH updates AS (
+      SELECT o_orderkey, o_custkey, o_orderstatus, ROUND(o_totalprice * 1.1, 2) AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    inserts AS (
+      SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey, 'N' AS o_orderstatus,
+             o_totalprice, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    source AS (SELECT * FROM updates UNION ALL SELECT * FROM inserts),
+    merged AS (
+      SELECT COALESCE(s.o_orderkey, t.o_orderkey) AS o_orderkey,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_totalprice ELSE t.o_totalprice END
+               AS o_totalprice,
+             CASE WHEN s.o_orderkey IS NOT NULL THEN s.o_orderstatus ELSE t.o_orderstatus END
+               AS o_orderstatus
+      FROM orders t FULL JOIN source s ON t.o_orderkey = s.o_orderkey
+    )
+    SELECT o_orderstatus, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM merged GROUP BY o_orderstatus
+    """,
+)
+def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style MERGE: a deterministic change batch (10%% price updates +
+    ~1%% inserted keys) upserted into orders via the full-outer-join
+    snapshot writer (operators/merge.py), then summarized.  The oracle
+    computes the merged snapshot independently with the same FULL JOIN
+    formulation."""
+    from ..operators.merge import merge_upsert
+
+    o = load(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_totalprice", F.round(F.col("o_totalprice") * 1.1, 2)
+    )
+    inserts = (
+        o.filter(F.col("o_orderkey") % 97 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10_000_000)
+        .withColumn("o_orderstatus", F.lit("N"))
+    )
+    source = updates.unionByName(inserts)
+    merged = merge_upsert(o, source, on="o_orderkey")
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
