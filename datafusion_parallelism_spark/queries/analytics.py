@@ -483,3 +483,43 @@ def merge_orders_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# --------------------------------------------------------------------------
+# Interval (range) join (operators/ranges.py, bucketized exact form)
+# --------------------------------------------------------------------------
+@query(
+    "events_interval_first6h",
+    oracle="""
+    WITH spans AS (SELECT user_id, MIN(ts) AS s FROM events GROUP BY user_id)
+    SELECT e.user_id, COUNT(*) AS n_first6h, ROUND(SUM(e.value), 2) AS value_first6h
+    FROM events e
+    JOIN spans ON e.user_id = spans.user_id
+              AND e.ts >= spans.s AND e.ts <= spans.s + INTERVAL 6 HOUR
+    GROUP BY e.user_id
+    """,
+)
+def events_interval_first6h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity inside the 6-hour interval opened by their first
+    event — an interval join of events against derived (user, start, end)
+    spans through the bucketized range-join operator (1-hour buckets;
+    exact BETWEEN refinement after the (key, bucket) equi-join)."""
+    from ..operators.ranges import interval_join
+
+    e = load(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(F.min("ts").alias("span_start"))
+    spans = spans.withColumn(
+        "span_end", F.col("span_start") + F.expr("INTERVAL 6 HOURS")
+    )
+    joined = interval_join(
+        e.select("user_id", "ts", "value"),
+        spans,
+        key="user_id",
+        left_ts="ts",
+        right_start="span_start",
+        right_end="span_end",
+    )
+    return joined.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_first6h"),
+        F.round(F.sum("value"), 2).alias("value_first6h"),
+    )
