@@ -231,3 +231,33 @@ def sample_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
 
     videos = assets.filter(F.col("modality") == "video")
     return videos.mapInPandas(compute, schema=FRAMES_SCHEMA)
+
+
+AUDIO_SCHEMA = "doc_id long, window_idx int, rms double, zero_crossings int"
+AUDIO_WINDOW = 256  # samples per analysis window
+
+
+def audio_features(assets: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
+    """Windowed audio analysis for audio assets: the decoded sample buffer
+    is split into fixed windows and each yields RMS energy + zero-crossing
+    count (computed on the mean-centered signal) — one output row per
+    window (row-expanding mapInPandas, like frame sampling for video)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = decode_payload(bytes(payload)).astype(np.float64)
+                centered = buf - buf.mean()
+                n_win = len(buf) // window
+                for i in range(n_win):
+                    w = centered[i * window : (i + 1) * window]
+                    rms = float(np.sqrt(np.mean(w * w)))
+                    zc = int(np.sum(np.signbit(w[:-1]) != np.signbit(w[1:])))
+                    rows.append((int(doc_id), i, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "rms", "zero_crossings"]
+            )
+
+    audio = assets.filter(F.col("modality") == "audio")
+    return audio.select("doc_id", "payload").mapInPandas(compute, schema=AUDIO_SCHEMA)

@@ -94,3 +94,13 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas (one row per kept frame with per-frame stats)."""
     assets = build_assets(load(spark, sf_dir, "documents"))
     return sample_frames(assets)
+
+
+@query("mm_audio_features", oracle=None)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed RMS + zero-crossing analysis of audio assets (256-sample
+    windows, row-expanding mapInPandas)."""
+    from ..operators.multimodal import audio_features
+
+    assets = build_assets(load(spark, sf_dir, "documents"))
+    return audio_features(assets)

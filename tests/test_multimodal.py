@@ -74,3 +74,22 @@ def test_mapinpandas_is_narrow(spark, sf_dir):
     df = REGISTRY["mm_image_features"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_audio_features_window_counts_and_ranges(spark, sf_dir):
+    from datafusion_parallelism_spark.operators.multimodal import AUDIO_WINDOW
+
+    assets = build_assets(load(spark, sf_dir, "documents"))
+    audio_sizes = {
+        r.doc_id: r["meta"]["n_bytes"]
+        for r in assets.filter("modality = 'audio'").select("doc_id", "meta").collect()
+    }
+    df = REGISTRY["mm_audio_features"].fn(spark, sf_dir)
+    rows = df.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.doc_id, 0)
+        got[r.doc_id] += 1
+        assert 0.0 <= r.rms <= 128.0
+        assert 0 <= r.zero_crossings < AUDIO_WINDOW
+    assert got == {d: n // AUDIO_WINDOW for d, n in audio_sizes.items()}
