@@ -851,3 +851,52 @@ def dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+# ==========================================================================
+# Corpus sampling & mixing (training-data curation)
+# ==========================================================================
+#: Target mixture weights per source (a data-mixing recipe over the driver
+#: corpus's src0..src19 source labels; unlisted sources are dropped).
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.25, "src2": 0.15, "src3": 0.1, "src4": 0.1}
+
+
+@query(
+    "mix_source_proportions",
+    oracle="""
+    SELECT source, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 4) AS frac
+    FROM documents GROUP BY source
+    """,
+)
+def mix_source_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Current corpus mixture by source (the dashboard a mixing recipe is
+    tuned against) — exact, oracle-checked."""
+    d = load(spark, sf_dir, "documents")
+    total = d.count()
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.count(F.lit(1)) / F.lit(float(total)), 4).alias("frac"),
+    )
+
+
+@query("mix_stratified_sample", oracle=None)
+def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified Bernoulli sample implementing the MIX_WEIGHTS recipe:
+    per-source keep-fractions proportional to weight/current-share (capped
+    at 1), seeded deterministically via sampleBy.  Sampling decisions are
+    engine-internal RNG → no cross-engine oracle; tests pin per-source
+    proportions within binomial tolerance.  Scale: a map-side filter — no
+    shuffle, no driver data movement (shares come from a tiny agg)."""
+    d = load(spark, sf_dir, "documents")
+    shares = {r["source"]: r["n"] for r in d.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(shares.values())
+    # 10% of the corpus: small enough that no keep-fraction caps at 1 on
+    # the uniform driver corpus, so the realized mix matches the recipe.
+    target_total = 0.1 * total
+    fractions = {
+        s: min(1.0, (MIX_WEIGHTS.get(s, 0.0) * target_total) / n)
+        for s, n in shares.items()
+    }
+    sampled = d.sampleBy("source", fractions=fractions, seed=42)
+    return sampled.select("doc_id", "source")
