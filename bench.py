@@ -27,10 +27,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
 from datafusion_parallelism_spark.session import (  # noqa: E402
-    AQE_MIN_INPUT_BYTES,
-    auto_shuffle_partitions,
-    dir_size,
-    get_spark,
+    benchmark_session,
+    force_execute as _force,
 )
 
 #: Fixed headline set: the reference's own subject (multi-join TPC-H) plus
@@ -54,12 +52,6 @@ HEADLINE = [
 ]
 
 
-def _force(df) -> int:
-    """Execute the full plan without materializing rows on the driver."""
-    df.write.format("noop").mode("overwrite").save()
-    return 0
-
-
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -67,18 +59,7 @@ def main() -> None:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
-    # Data-proportional shuffle sizing (see session.auto_shuffle_partitions):
-    # the same rule scales from benchmark MBs to 100 TB; AQE trims at runtime.
-    n_shuffle = auto_shuffle_partitions(sf_dir)
-    spark = get_spark(app_name="bench", shuffle_partitions=n_shuffle)
-    # getOrCreate ignores builder confs on an existing session; shuffle
-    # partitions is a runtime conf, so pin it explicitly as well.
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    if dir_size(sf_dir) < AQE_MIN_INPUT_BYTES:
-        # AQE's per-stage re-planning latency dominates on MB-scale inputs
-        # (its coalesce/skew benefits are no-ops there); keep it for real data.
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = benchmark_session(sf_dir, app_name="bench")
 
     names = [n for n in HEADLINE if n in REGISTRY]
     # Warm the JVM + parquet footer caches once so per-query times measure

@@ -81,17 +81,12 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
-    out = filled.filter(F.col("__side") == 1).select(
+    keep = F.col("__side") == 1
+    if how == "inner":
+        keep = keep & F.col("__m").isNotNull()
+    return filled.filter(keep).select(
         *keys,
         F.col("__ts").alias(left_ts),
         *left_cols,
         *[F.col(f"__m.{c}").alias(c) for c in right_cols],
     )
-    if how == "inner":
-        out = filled.filter((F.col("__side") == 1) & F.col("__m").isNotNull()).select(
-            *keys,
-            F.col("__ts").alias(left_ts),
-            *left_cols,
-            *[F.col(f"__m.{c}").alias(c) for c in right_cols],
-        )
-    return out

@@ -48,6 +48,7 @@ def connected_components(
         labels = labels.localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
 
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und["dst"] == labels["node"])
@@ -68,6 +69,15 @@ def connected_components(
         new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
         labels = new_labels
         if new_sum == prev_sum:
+            converged = True
             break
         prev_sum = new_sum
+    if not converged:
+        # Silent wrong labels are worse than failing: min-label propagation
+        # moves the minimum one hop per iteration, so a component with
+        # diameter > max_iter would return non-minimal cluster ids.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} iterations "
+            "(component diameter exceeds max_iter); raise max_iter"
+        )
     return labels

@@ -40,19 +40,28 @@ def merge_upsert(
     if source.columns != cols:
         raise ValueError(f"schema mismatch: target={cols} source={source.columns}")
 
+    # NULL merge keys never match in the join and would surface as bogus
+    # all-NULL rows (and never-applied deletes) — reject them up front.
+    null_key = None
+    for k in keys:
+        c = F.col(k).isNull()
+        null_key = c if null_key is None else (null_key | c)
+    source = source.filter(~null_key)
+
     deletes = None
     if delete is not None:
         deletes = source.filter(delete).select(*keys).distinct()
         source = source.filter(~delete)
 
-    t, s = target.alias("t"), source.alias("s")
+    t = target.alias("t")
+    # Dedicated presence flag (not key-isNotNull): robust even if key
+    # semantics change, and lets a source row legitimately set NULLs.
+    s = source.withColumn("__present", F.lit(True)).alias("s")
     cond = None
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
-    # Row-wise source-wins on a PRESENCE flag (not value coalesce), so a
-    # source row may legitimately set a column to NULL.
-    present = F.col(f"s.{keys[0]}").isNotNull()
+    present = F.col("s.__present").isNotNull() & F.col("s.__present")
     merged = t.join(s, cond, "full").select(
         *[
             F.when(present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)

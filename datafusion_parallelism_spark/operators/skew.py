@@ -37,6 +37,11 @@ def salted_join(
     = big's columns followed by small's (salt column dropped)."""
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
+    if how not in ("inner", "left"):
+        # right/full would emit each unmatched small-side row once PER SALT
+        # COPY; semi/anti have no small-side columns to select.  Only the
+        # big-side-preserving types are salt-correct.
+        raise ValueError(f"salted_join supports how='inner'/'left', got {how!r}")
     # Salt from a hash of the big side's full row: uniform, deterministic,
     # and independent of the (constant) hot key.
     big_s = big.withColumn(

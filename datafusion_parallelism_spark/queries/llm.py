@@ -453,15 +453,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= 6
+    WHERE bit_count(xor(sim_a, sim_b)) <= 3
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs with hamming distance ≤ 6, blocked by the
-    pigeonhole trick: split the 32-bit signature into 4 bytes; any pair
-    within hamming 6 of a 4-way split shares at least one exact byte, so
-    the self-join is on (byte index, byte value) buckets — never all
-    pairs."""
+    """SimHash near-dup pairs with hamming distance ≤ 3, blocked by the
+    pigeonhole trick: split the 32-bit signature into 4 bytes; a pair
+    differing in ≤ 3 bits cannot touch all 4 bytes, so it shares at least
+    one exact byte and meets in that (byte index, byte value) bucket —
+    never all pairs, and provably no missed pairs.  (A higher threshold
+    needs more blocks: detecting hamming ≤ h requires h+1 blocks.)"""
     sigs = _simhash(load(spark, sf_dir, "documents"))
     bytes_df = sigs.select(
         "doc_id",
@@ -496,7 +497,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 6
+        F.col("hamming") <= 3
     )
 
 

@@ -27,18 +27,10 @@ import time
 
 from .plans.shaping import explain_str
 from .queries import REGISTRY
-from .session import (
-    AQE_MIN_INPUT_BYTES,
-    auto_shuffle_partitions,
-    dir_size,
-    get_spark,
-)
+from .session import benchmark_session
+from .session import force_execute as _force
 from .sinks import write_csv
 from .sources.memory import materialize_tables
-
-
-def _force(df) -> None:
-    df.write.format("noop").mode("overwrite").save()
 
 
 def run(argv: list[str] | None = None) -> dict:
@@ -52,6 +44,8 @@ def run(argv: list[str] | None = None) -> dict:
     ap.add_argument("--output-dir", default=None,
                     help="write <q>.csv, <q>_plan.txt and timings.json here")
     args = ap.parse_args(argv)
+    if args.iterations < 1:
+        ap.error("--iterations must be >= 1")
 
     names = args.query or ["all"]
     if "all" in names:
@@ -60,12 +54,7 @@ def run(argv: list[str] | None = None) -> dict:
     if unknown:
         raise SystemExit(f"unknown queries: {unknown}; known: {sorted(REGISTRY)}")
 
-    n_shuffle = auto_shuffle_partitions(args.data_path)
-    spark = get_spark(app_name="tpch-runner", shuffle_partitions=n_shuffle)
-    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    if dir_size(args.data_path) < AQE_MIN_INPUT_BYTES:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sparkContext.setLogLevel("ERROR")
+    spark = benchmark_session(args.data_path, app_name="tpch-runner")
 
     cached = materialize_tables(spark, args.data_path) if args.from_memory else None
     if args.output_dir:

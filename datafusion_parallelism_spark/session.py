@@ -126,6 +126,33 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
+    """Session tuned for measuring queries over ``sf_dir`` — the ONE place
+    both harnesses (bench.py, runner.py) get their measurement config:
+
+    * shuffle partitions sized to the data (auto_shuffle_partitions),
+      pinned as a runtime conf too (getOrCreate ignores builder confs on
+      an existing session);
+    * AQE disabled below AQE_MIN_INPUT_BYTES — its per-stage re-planning
+      latency dominates on MB-scale inputs where its coalesce/skew
+      benefits are no-ops (measured ~15% of headline wall at sf0.1);
+    * log level ERROR so harness stdout stays parseable.
+    """
+    n_shuffle = auto_shuffle_partitions(sf_dir)
+    spark = get_spark(app_name=app_name, shuffle_partitions=n_shuffle)
+    spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
+    if dir_size(sf_dir) < AQE_MIN_INPUT_BYTES:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def force_execute(df: DataFrame) -> None:
+    """Run a DataFrame's full plan without materializing rows on the
+    driver (noop sink) — the measurement convention of both harnesses."""
+    df.write.format("noop").mode("overwrite").save()
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:

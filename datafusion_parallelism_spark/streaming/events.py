@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..sources.parquet import _nanos_timestamp_columns
+from ..sources.parquet import _nanos_timestamp_columns, nanos_to_timestamp
 
 WATERMARK = "2 hours"
 SESSION_GAP = "30 minutes"
@@ -59,9 +59,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_schema = spark.read.parquet(path).schema
     stream = spark.readStream.schema(batch_schema).parquet(stream_path)
     for name in _nanos_timestamp_columns(path):
-        stream = stream.withColumn(
-            name, F.timestamp_micros((F.col(name) / F.lit(1000)).cast("long"))
-        )
+        stream = stream.withColumn(name, nanos_to_timestamp(name))
     return stream
 
 
