@@ -523,3 +523,56 @@ def events_interval_first6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_first6h"),
         F.round(F.sum("value"), 2).alias("value_first6h"),
     )
+
+
+# --------------------------------------------------------------------------
+# Additional window-function coverage (lag/lead, ntile, percent_rank)
+# --------------------------------------------------------------------------
+@query(
+    "window_lag_lead_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           LAG(o_orderkey) OVER w AS prev_order,
+           LEAD(o_orderkey) OVER w AS next_order,
+           ROUND(o_totalprice - LAG(o_totalprice) OVER w, 2) AS price_delta
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_lag_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order sequence navigation (LAG/LEAD + delta) — the
+    classic change-over-time window; one shuffle on the partition key."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderkey").over(w).alias("prev_order"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice").over(w), 2).alias(
+            "price_delta"
+        ),
+    )
+
+
+@query(
+    "window_ntile_pctrank",
+    oracle="""
+    SELECT c_custkey,
+           NTILE(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank
+    FROM customer
+    """,
+)
+def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global decile + percentile rank of customers by balance (ties
+    totalized by custkey so bucket boundaries are engine-independent).
+    Single-partition window — fine for ranked dashboards; at 100 TB a
+    global rank would be computed via range-partitioned sort instead."""
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
