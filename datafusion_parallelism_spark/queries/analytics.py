@@ -576,3 +576,49 @@ def window_ntile_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(10).over(w).alias("decile"),
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar-function surface (date arithmetic / EXTRACT / CASE / LIKE / strings)
+# --------------------------------------------------------------------------
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           EXTRACT(year FROM o_orderdate) AS yr,
+           EXTRACT(month FROM o_orderdate) AS mo,
+           strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_day,
+           CASE WHEN o_totalprice >= 200000 THEN 'high'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'low' END AS bucket,
+           upper(substr(o_orderpriority, 1, 3)) AS pri3,
+           CAST(o_orderpriority LIKE '%URGENT%' AS INT) AS is_urgent,
+           ROUND(o_totalprice * 0.07 + 5, 2) AS fee
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderkey % 7 = 0
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function surface in one query: EXTRACT, date + INTERVAL,
+    CASE, LIKE, substring/upper, arithmetic — the expression classes the
+    reference obtains from DataFusion's scalar library (SURVEY §2.B).
+    All whole-stage-codegen JVM expressions over one scan."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderkey") % 7 == 0)
+    )
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.date_format(F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "yyyy-MM-dd").alias(
+            "due_day"
+        ),
+        F.when(F.col("o_totalprice") >= 200000, "high")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("low")
+        .alias("bucket"),
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.col("o_orderpriority").like("%URGENT%").cast("int").alias("is_urgent"),
+        F.round(F.col("o_totalprice") * 0.07 + 5, 2).alias("fee"),
+    )

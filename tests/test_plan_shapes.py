@@ -129,3 +129,22 @@ def test_broadcast_join_has_no_shuffle_of_fact_side(spark, sf_dir):
     plan = physical_plan_str(df)
     assert "BroadcastHashJoin" in plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_three_part_catalog_naming(spark, sf_dir):
+    """3-part table naming (reference: my_catalog.my_schema.table via
+    MemoryCatalogProvider, src/lib.rs:822-828) — Spark's
+    spark_catalog.<db>.<table> equivalent."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS eng_schema")
+    load(spark, sf_dir, "nation").write.mode("overwrite").saveAsTable(
+        "eng_schema.nation_tbl"
+    )
+    try:
+        n = spark.sql(
+            "SELECT COUNT(*) AS n FROM spark_catalog.eng_schema.nation_tbl"
+        ).collect()[0].n
+        assert n == 25
+        assert spark.catalog.tableExists("eng_schema.nation_tbl")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS eng_schema.nation_tbl")
+        spark.sql("DROP DATABASE IF EXISTS eng_schema")
