@@ -49,7 +49,9 @@ def connected_components(
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
 
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: detecting convergence costs one extra (no-change)
+    # iteration, so the usable propagation budget stays a full max_iter.
+    for _ in range(max_iter + 1):
         neighbor_min = (
             und.join(labels, und["dst"] == labels["node"])
             .groupBy("src")

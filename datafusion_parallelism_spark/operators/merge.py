@@ -41,12 +41,17 @@ def merge_upsert(
         raise ValueError(f"schema mismatch: target={cols} source={source.columns}")
 
     # NULL merge keys never match in the join and would surface as bogus
-    # all-NULL rows (and never-applied deletes) — reject them up front.
+    # all-NULL rows (and never-applied deletes).  Fail loud — silently
+    # dropping them would hide upstream CDC corruption.
     null_key = None
     for k in keys:
         c = F.col(k).isNull()
         null_key = c if null_key is None else (null_key | c)
-    source = source.filter(~null_key)
+    n_bad = source.filter(null_key).count()
+    if n_bad:
+        raise ValueError(
+            f"merge_upsert: {n_bad} source row(s) have NULL in merge key {keys}"
+        )
 
     deletes = None
     if delete is not None:
@@ -61,7 +66,8 @@ def merge_upsert(
     for k in keys:
         c = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = c if cond is None else (cond & c)
-    present = F.col("s.__present").isNotNull() & F.col("s.__present")
+    # F.when treats a NULL condition as false, so the bare flag suffices.
+    present = F.col("s.__present")
     merged = t.join(s, cond, "full").select(
         *[
             F.when(present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)

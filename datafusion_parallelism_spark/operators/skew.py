@@ -37,7 +37,7 @@ def salted_join(
     = big's columns followed by small's (salt column dropped)."""
     if n_salts < 1:
         raise ValueError("n_salts must be >= 1")
-    if how not in ("inner", "left"):
+    if how not in ("inner", "left", "leftouter", "left_outer"):
         # right/full would emit each unmatched small-side row once PER SALT
         # COPY; semi/anti have no small-side columns to select.  Only the
         # big-side-preserving types are salt-correct.

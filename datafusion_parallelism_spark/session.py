@@ -141,8 +141,12 @@ def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
     n_shuffle = auto_shuffle_partitions(sf_dir)
     spark = get_spark(app_name=app_name, shuffle_partitions=n_shuffle)
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
-    if dir_size(sf_dir) < AQE_MIN_INPUT_BYTES:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Set BOTH directions: getOrCreate reuses sessions, so a small-data
+    # call must not leak AQE=off into a later large-data session.
+    spark.conf.set(
+        "spark.sql.adaptive.enabled",
+        "true" if dir_size(sf_dir) >= AQE_MIN_INPUT_BYTES else "false",
+    )
     spark.sparkContext.setLogLevel("ERROR")
     return spark
 

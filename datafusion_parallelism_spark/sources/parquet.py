@@ -60,10 +60,16 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
 
 
 def nanos_to_timestamp(name: str):
-    """Exact ns→µs truncation: integer `div`, NOT double division — a
-    double's ulp at 2024-era epoch nanos is 256 ns, which would land ~12%
-    of values on the wrong microsecond."""
-    return F.timestamp_micros(F.expr(f"`{name}` div 1000"))
+    """Exact ns→µs FLOOR conversion in integer arithmetic.
+
+    Not double division — a double's ulp at 2024-era epoch nanos is 256 ns,
+    which would land ~12% of values on the wrong microsecond.  Not bare
+    `div` either — it truncates toward zero, which would round pre-1970
+    (negative) nanos UP; the pmod correction makes it a true floor for all
+    signs, matching Arrow/DuckDB ns→µs conversion."""
+    return F.timestamp_micros(
+        F.expr(f"(`{name}` - ((`{name}` % 1000) + 1000) % 1000) div 1000")
+    )
 
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:

@@ -8,7 +8,9 @@ from datafusion_parallelism_spark.testing import compare_to_oracle
 NAMES = sorted(
     n
     for n in REGISTRY
-    if n.startswith(("window_", "rollup_", "cube_", "grouping_", "setop_", "events_", "agg_"))
+    if n.startswith(
+        ("window_", "rollup_", "cube_", "grouping_", "setop_", "events_", "agg_", "scalar_", "merge_", "mix_")
+    )
     and REGISTRY[n].oracle is not None  # sketch aggregates: tests/test_sketches.py
 )
 

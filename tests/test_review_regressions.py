@@ -20,7 +20,14 @@ def test_ns_timestamps_truncate_exactly(spark, tmp_path):
     # 2024-era epoch nanos with awkward sub-µs residues (ulp of a double
     # here is 256 ns, so naive long→double→/1000 rounds wrongly).
     base = 1_704_067_200_000_000_000  # 2024-01-01T00:00:00 in ns
-    nanos = [base + 999, base + 1_001, base + 123_456_789, base + 987_654_321_999]
+    nanos = [
+        base + 999,
+        base + 1_001,
+        base + 123_456_789,
+        base + 987_654_321_999,
+        -1_500,  # pre-epoch: floor(-1500/1000) = -2 µs, NOT div's -1
+        -999_999_999,
+    ]
     path = os.path.join(str(tmp_path), "ns.parquet")
     pq.write_table(
         pa.table({"ts": pa.array(nanos, type=pa.timestamp("ns")), "i": list(range(len(nanos)))}),
@@ -28,17 +35,20 @@ def test_ns_timestamps_truncate_exactly(spark, tmp_path):
     )
     df = read_parquet(spark, path).select("i", F.unix_micros("ts").alias("us"))
     got = {r.i: r.us for r in df.collect()}
+    # Python // floors toward -inf — the exact contract for both signs.
     assert got == {i: n // 1000 for i, n in enumerate(nanos)}
 
 
-def test_merge_null_key_source_rows_are_rejected_not_emitted(spark):
+def test_merge_null_key_source_rows_fail_loud(spark):
+    """NULL merge keys signal upstream CDC corruption — merge_upsert must
+    raise, not silently drop or emit all-NULL rows."""
     target = spark.createDataFrame([(1, "a")], schema="k long, v string")
     source = spark.createDataFrame([(None, "bad"), (2, "b")], schema="k long, v string")
-    rows = sorted(
-        (r.k, r.v) for r in merge_upsert(target, source, on="k").collect()
-    )
-    # no all-NULL row; NULL-keyed source row dropped; valid insert kept
-    assert rows == [(1, "a"), (2, "b")]
+    with pytest.raises(ValueError, match="NULL in merge key"):
+        merge_upsert(target, source, on="k")
+    # clean source still works
+    ok = merge_upsert(target, source.filter("k IS NOT NULL"), on="k")
+    assert sorted((r.k, r.v) for r in ok.collect()) == [(1, "a"), (2, "b")]
 
 
 def test_salted_join_rejects_unsupported_types(spark):
