@@ -622,3 +622,29 @@ def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").like("%URGENT%").cast("int").alias("is_urgent"),
         F.round(F.col("o_totalprice") * 0.07 + 5, 2).alias("fee"),
     )
+
+
+@query(
+    "events_pivot_native",
+    oracle="""
+    SELECT user_id % 10 AS cohort,
+           CAST(SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(SUM(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error
+    FROM events
+    GROUP BY 1
+    """,
+)
+def events_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native DataFrame ``groupBy().pivot(values=...).count()`` (vs the
+    CASE-based formulation in events_pivot_daily): explicit pivot values
+    keep the plan static — no pre-pass distinct scan, which is the
+    at-scale requirement."""
+    e = load(spark, sf_dir, "events")
+    return (
+        e.withColumn("cohort", F.col("user_id") % 10)
+        .groupBy("cohort")
+        .pivot("event_type", ["click", "purchase", "error"])
+        .count()
+        .na.fill(0, ["click", "purchase", "error"])
+    )
