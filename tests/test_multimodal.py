@@ -93,3 +93,15 @@ def test_audio_features_window_counts_and_ranges(spark, sf_dir):
         assert 0.0 <= r.rms <= 128.0
         assert 0 <= r.zero_crossings < AUDIO_WINDOW
     assert got == {d: n // AUDIO_WINDOW for d, n in audio_sizes.items()}
+
+
+def test_real_decode_seam_raises_without_codecs():
+    """The production-decode seam must fail loud (NotImplementedError),
+    not silently fall back to the fake."""
+    import pytest
+
+    from datafusion_parallelism_spark.operators.multimodal import decode_payload_real
+
+    for modality in ("image", "audio", "video"):
+        with pytest.raises(NotImplementedError):
+            decode_payload_real(b"\x00" * 16, modality)
