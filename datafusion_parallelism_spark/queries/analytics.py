@@ -648,3 +648,46 @@ def events_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .na.fill(0, ["click", "purchase", "error"])
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'signup'   THEN ts END) AS t_signup,
+             MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS users,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS did_signup,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_click,
+           CAST(SUM(CASE WHEN t_signup IS NOT NULL AND t_click > t_signup
+                          AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS then_purchase
+    FROM per_user
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first later
+    purchase): conditional MIN per step, then ordering predicates — one
+    shuffle on user_id, one tiny global rollup.  The standard product-
+    analytics shape at any scale."""
+    e = load(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("t_signup"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    signed = F.col("t_signup").isNotNull()
+    clicked = signed & (F.col("t_click") > F.col("t_signup"))
+    purchased = clicked & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum(signed.cast("int")).cast("bigint").alias("did_signup"),
+        F.sum(clicked.cast("int")).cast("bigint").alias("then_click"),
+        F.sum(purchased.cast("int")).cast("bigint").alias("then_purchase"),
+    )
