@@ -901,3 +901,47 @@ def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     }
     sampled = d.sampleBy("source", fractions=fractions, seed=42)
     return sampled.select("doc_id", "source")
+
+
+# ==========================================================================
+# Rolling-hash document fingerprint
+# ==========================================================================
+_RH_BASE = 131  # polynomial base; acc < P keeps acc*131 + h < 2^39 (no overflow)
+
+
+@query(
+    "text_rolling_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform({_TOKS_SQL}, t -> {_phash_sql('t')} % {P})),
+        (acc, x) -> (acc * {_RH_BASE} + x) % {P}
+      ) AS rolling_fp,
+      COUNT(*) OVER (PARTITION BY
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform({_TOKS_SQL}, t -> {_phash_sql('t')} % {P})),
+          (acc, x) -> (acc * {_RH_BASE} + x) % {P}
+        )) AS n_same
+    FROM documents
+    """,
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial ROLLING hash over
+    portable per-token hashes (h = h·131 + tok mod p) — unlike the md5
+    content fingerprint, token order matters and the hash is incrementally
+    maintainable over a sliding window.  Computed JVM-side with
+    aggregate(); n_same counts exact-sequence duplicates."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    rh = F.aggregate(
+        F.transform(tokens(F.col("text")), lambda t: _phash(t) % P),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * _RH_BASE + x) % P,
+    )
+    out = d.select("doc_id", rh.alias("rolling_fp"))
+    return out.withColumn(
+        "n_same", F.count(F.lit(1)).over(Window.partitionBy("rolling_fp"))
+    )
