@@ -213,12 +213,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _shingle_table(d: DataFrame) -> DataFrame:
-    """(doc_id, shingle) with per-doc-distinct 3-word shingles."""
-    return d.select(
-        "doc_id",
-        F.explode(F.array_distinct(word_shingles(tokens(F.col("text"))))).alias("s"),
+def _doc_shingles(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles: per-doc-distinct 3-word shingle array, n = |set|).
+
+    Keeping the shingle set as an ARRAY column (not exploded rows) lets
+    MinHash signatures and exact-Jaccard verification run as narrow per-row
+    expressions — no shuffle until a join actually needs one.
+
+    The token array is materialized in its own projection BEFORE shingling:
+    ``word_shingles`` references its input inside a ``transform`` lambda, so
+    an inline ``split()`` argument would be re-evaluated once per shingle
+    index (O(tokens²) splits per doc — measured 3.5× slower at sf0.1)."""
+    return (
+        d.select("doc_id", tokens(F.col("text")).alias("toks"))
+        .select(
+            "doc_id",
+            F.array_distinct(word_shingles(F.col("toks"))).alias("shingles"),
+        )
+        .withColumn("n", F.size("shingles"))
     )
+
+
+def _shingle_table(d: DataFrame) -> DataFrame:
+    """(doc_id, shingle) with per-doc-distinct 3-word shingles (inverted-
+    index shape, used where blocking on the shingle value is the point)."""
+    return _doc_shingles(d).select("doc_id", F.explode("shingles").alias("s"))
 
 
 _SHINGLE_CTE = f"""
@@ -272,15 +291,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sigs(d: DataFrame) -> DataFrame:
-    """doc_id + m0..m{N_PERMS-1} MinHash signature columns (single shuffle:
-    16 min-aggregates over the exploded shingle table — no per-permutation
-    explode)."""
-    sh = _shingle_table(d).select("doc_id", (_phash(F.col("s")) % P).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % P).alias(f"m{i}")
-        for i, (a, b) in enumerate(PERMS)
-    ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """doc_id + m0..m{N_PERMS-1} MinHash signature columns, computed with
+    ZERO shuffles: per-row ``array_min(transform(...))`` over the shingle
+    array replaces the explode + 16-min-aggregates groupBy (one full
+    shuffle of the exploded corpus saved — the dominant cost at any SF)."""
+    hs = _doc_shingles(d).select(
+        "doc_id", F.transform("shingles", lambda s: _phash(s) % P).alias("hs")
+    )
+    def perm_min(a: int, b: int) -> Column:
+        # Closure factory (not default-arg lambdas): pyspark reads the
+        # lambda's arity to build the HOF, so extra params would break it.
+        return F.array_min(F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % P))
+
+    return hs.select(
+        "doc_id", *[perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(PERMS)]
+    )
 
 
 def _minhash_sigs_sql() -> str:
@@ -332,11 +357,13 @@ def _band_cols(i: int) -> list[str]:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup detection: shingle → 16-permutation MinHash
-    signature (one aggregation, no explode-per-permutation) → 4×4 banding →
+    signature (per-row array expressions, zero shuffles) → 4×4 banding →
     bucket self-join on (band, signature) → exact-Jaccard verification of
-    candidates only.  This is the 100 TB path: candidate generation touches
-    each doc once per band, and the quadratic verify step runs only inside
-    LSH buckets."""
+    candidates only, via ``array_intersect`` on the two docs' shingle sets
+    (narrow, no exploded self-join).  This is the 100 TB path: candidate
+    generation touches each doc once per band; the only shuffles left are
+    the LSH-bucket join and the candidate↔shingle-set lookups, and the
+    quadratic verify step runs only inside LSH buckets."""
     d = load(spark, sf_dir, "documents")
     sigs = _minhash_sigs(d)
     n_bands = N_PERMS // BAND_ROWS
@@ -365,22 +392,14 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = _shingle_table(d)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    shared = (
-        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
-        .join(
-            sh.alias("sb"),
-            (F.col("sb.doc_id") == F.col("doc_b")) & (F.col("sb.s") == F.col("sa.s")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    ds = _doc_shingles(d)
+    pairs = cand.join(ds.alias("da"), F.col("da.doc_id") == F.col("doc_a")).join(
+        ds.alias("db"), F.col("db.doc_id") == F.col("doc_b")
     )
-    jac = F.round(F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")), 4)
+    c = F.size(F.array_intersect(F.col("da.shingles"), F.col("db.shingles")))
+    jac = F.round(c / (F.col("da.n") + F.col("db.n") - c), 4)
     return (
-        shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
-        .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
 
