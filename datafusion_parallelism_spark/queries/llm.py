@@ -273,14 +273,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the mitigation (reference analog: work-stealing repartition, SURVEY
     A22)."""
     d = load(spark, sf_dir, "documents")
-    sh = _shingle_table(d)
-    cnt = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    # Explode fan-out (~50 shingles/doc) makes the bytes-proportional
+    # shuffle-partition default too low for the self-join; repartition by
+    # the join key at full parallelism (co-partitions BOTH aliases — the
+    # join adds no further exchange, and the following distinct reuses the
+    # (doc_a, doc_b) repartitioning).
+    n_part = spark.sparkContext.defaultParallelism
+    sh = _shingle_table(d).repartition(n_part, "s")
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        # Align the repartitioning with the grouping keys: the groupBy then
+        # adds no exchange and the count runs at full parallelism instead
+        # of the (bytes-derived) session shuffle-partition count.
+        .repartition(n_part, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    cnt = _doc_shingles(d).select("doc_id", "n")
     jac = F.round(F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")), 4)
     return (
         shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
