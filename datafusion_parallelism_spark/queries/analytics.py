@@ -778,3 +778,39 @@ def events_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count_distinct(F.col("user_id")).alias("users"))
     )
+
+
+@query(
+    "agg_unpivot_measures",
+    oracle="""
+    SELECT measure,
+           ROUND(SUM(value), 2) AS total,
+           ROUND(AVG(value), 6) AS mean,
+           COUNT(*) AS n
+    FROM (
+      SELECT 'quantity' AS measure, l_quantity AS value FROM lineitem
+      UNION ALL
+      SELECT 'extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long melt via stack()) + per-measure stats — the
+    inverse of the pivot queries.  stack() multiplies rows map-side without
+    a shuffle; the aggregation then shuffles only (measure) keys."""
+    lineitem = load(spark, sf_dir, "lineitem")
+    long = lineitem.select(
+        F.expr(
+            "stack(3, 'quantity', l_quantity, "
+            "'extendedprice', l_extendedprice, "
+            "'discount', l_discount) AS (measure, value)"
+        )
+    )
+    return long.groupBy("measure").agg(
+        F.round(F.sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.count(F.lit(1)).alias("n"),
+    )

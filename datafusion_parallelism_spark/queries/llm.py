@@ -1157,3 +1157,35 @@ def mix_temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(weight, 6).alias("weight"),
         F.round(weight * F.sum("n").over(w), 0).cast("long").alias("target_rows"),
     )
+
+
+_BIGRAMS_SQL = (
+    "list_transform(range(1, greatest(len({t}) - 1, 1) + 1), "
+    "i -> array_to_string(list_slice({t}, i, i + 1), ' '))"
+).format(t=_TOKS_SQL)
+
+
+@query(
+    "text_bigram_topk",
+    oracle=f"""
+    SELECT bigram, COUNT(*) AS n
+    FROM (SELECT unnest({_BIGRAMS_SQL}) AS bigram FROM documents)
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {_VOCAB_TOPK}
+    """,
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top word bigrams (n-gram frequency analysis, the n=2 companion of
+    text_vocab_topk): same explode → count → deterministic top-k plan, with
+    the bigram arrays built per row before exploding (token array
+    materialized first — see _doc_shingles on why that matters)."""
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(tokens(F.col("text")).alias("toks"))
+        .select(F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(_VOCAB_TOPK)
+    )

@@ -116,3 +116,52 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table("q_stream_ssj")
+
+
+@query(
+    "stream_sliding_counts",
+    oracle="""
+    SELECT strftime(w, '%Y-%m-%d %H:00') AS window_start,
+           COUNT(*) AS n,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM (
+      SELECT date_trunc('hour', ts) AS w, value FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS w, value FROM events
+    )
+    GROUP BY 1
+    """,
+)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 2h/1h event-time windows run incrementally to completion;
+    the batch twin assigns every event to its two hourly-aligned covering
+    windows (which is exactly what the oracle's UNION ALL does)."""
+    from ..streaming.events import sliding_counts_stream
+
+    run_to_memory(
+        sliding_counts_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_sliding",
+        output_mode="complete",
+    )
+    return spark.table("q_stream_sliding").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
+        "n",
+        "value_sum",
+    )
+
+
+@query(
+    "stream_dedup_ids",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+)
+def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (state-store first-wins on the key): the set
+    of surviving keys must equal the batch DISTINCT."""
+    from ..streaming.events import dedup_keys_stream
+
+    run_to_memory(
+        dedup_keys_stream(read_events_stream(spark, sf_dir)),
+        "q_stream_dedup",
+        output_mode="append",
+    )
+    return spark.table("q_stream_dedup")

@@ -186,3 +186,34 @@ def purchase_click_join_stream(events: DataFrame) -> DataFrame:
     ).select(
         F.col("p_user").alias("user_id"), "purchase_id", "click_id"
     )
+
+
+def sliding_counts_stream(events: DataFrame) -> DataFrame:
+    """SLIDING 2-hour windows advancing every hour (each event belongs to
+    two overlapping windows) with the standard watermark — the overlap
+    factor multiplies state size, which is why the watermark bound matters
+    twice as much as for tumbling windows."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value_sum"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "value_sum")
+    )
+
+
+def dedup_keys_stream(events: DataFrame) -> DataFrame:
+    """Streaming exact deduplication: first occurrence of each
+    (user_id, event_type) key passes, duplicates are dropped against the
+    state store.  Only the KEY columns are emitted so the result is
+    deterministic (which full row arrives first is race-dependent);
+    dropDuplicatesWithinWatermark would bound state by event time when the
+    key space is unbounded."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )

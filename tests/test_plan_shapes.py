@@ -148,3 +148,45 @@ def test_three_part_catalog_naming(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS eng_schema.nation_tbl")
         spark.sql("DROP DATABASE IF EXISTS eng_schema")
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rank<=k filters push a per-partition group limit into the window
+    sort (WindowGroupLimit) — each task keeps k rows per key instead of
+    sorting whole groups."""
+    plan = physical_plan_str(REGISTRY["window_topk_per_group"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_global_topk_uses_take_ordered(spark, sf_dir):
+    """ORDER BY + LIMIT plans as TakeOrderedAndProject (per-partition
+    partial top-k + merge), never a global sort."""
+    plan = physical_plan_str(REGISTRY["text_vocab_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Sort [n" not in plan, plan
+
+
+def test_cross_join_is_broadcast_nested_loop(spark, sf_dir):
+    """Explicit cross join of two broadcast-small dims must plan as
+    BroadcastNestedLoopJoin — no shuffle exchange at all."""
+    plan = physical_plan_str(REGISTRY["join_cross"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_nullsafe_join_is_hash_join_not_cartesian(spark, sf_dir):
+    """<=> is a valid hash-join key (the NULL bucket hashes like a value):
+    the plan must use a hash-based equi join, not fall back to
+    nested-loop/cartesian."""
+    plan = physical_plan_str(REGISTRY["join_nullsafe"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "HashJoin" in plan, plan
+
+
+def test_block_cosine_has_no_cartesian(spark, sf_dir):
+    """The block-matrix all-pairs cosine fans out via broadcast block-pair
+    joins + one FlatMapGroupsInPandas tile product — never a row-level
+    cartesian join."""
+    plan = physical_plan_str(REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
