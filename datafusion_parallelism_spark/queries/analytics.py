@@ -432,6 +432,67 @@ def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Heavy hitters / anomaly detection (training-pipeline data-quality ops)
+# --------------------------------------------------------------------------
+@query(
+    "agg_heavy_hitters",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events
+    FROM events GROUP BY user_id
+    HAVING COUNT(*) * 1000 > (SELECT COUNT(*) FROM events) * 8
+    """,
+)
+def agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-item mining: users contributing > 0.8% of all events.
+    Two aggregations, no driver action: the single-row global total is
+    broadcast against the per-user counts, and the support predicate is
+    integer cross-multiplication (no float threshold wobble).  At 100 TB
+    both aggs are map-side partial; the broadcast side is one row.  The
+    pattern is the exact pre-filter for skew mitigation — its output is
+    what operators/skew.py expects as the hot-key list."""
+    ev = load(spark, sf_dir, "events").select("user_id")
+    total = ev.agg(F.count(F.lit(1)).alias("n_total"))
+    counts = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    return (
+        counts.join(F.broadcast(total))
+        .filter(F.col("n_events") * 1000 > F.col("n_total") * 8)
+        .select("user_id", "n_events")
+    )
+
+
+@query(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, STDDEV_POP(value) AS sigma
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, ROUND((e.value - s.mu) / s.sigma, 4) AS z
+    FROM events e JOIN stats s ON e.event_type = s.event_type
+    WHERE ABS(e.value - s.mu) > 3 * s.sigma
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type (|z| > 3) — the standard
+    numeric data-quality gate in a training pipeline.  The per-type
+    mean/stddev aggregate is a handful of rows, broadcast back against the
+    full stream; the event table itself never shuffles."""
+    e = load(spark, sf_dir, "events")
+    stats = e.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_pop("value").alias("sigma")
+    )
+    return (
+        e.join(F.broadcast(stats), "event_type")
+        .filter(F.abs(F.col("value") - F.col("mu")) > 3 * F.col("sigma"))
+        .select(
+            "event_id",
+            "event_type",
+            F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 4).alias("z"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # MERGE / upsert snapshot (operators/merge.py)
 # --------------------------------------------------------------------------
 @query(

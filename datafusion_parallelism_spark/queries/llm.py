@@ -672,6 +672,56 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "ann_filtered_topk",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                          CAST(c.embedding AS DOUBLE[])), 4) AS cos
+      FROM embeddings q JOIN embeddings c
+        ON c.label = q.label AND c.vec_id >= {_N_QUERY_VECS}
+      WHERE q.vec_id < {_N_QUERY_VECS}
+    )
+    SELECT query_id, neighbor_id, cos FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {_TOPK}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search: top-k cosine neighbors restricted to
+    candidates sharing the query's metadata label (the vector-DB
+    "pre-filtered search" pattern — filter first, then score, never the
+    reverse).  The label becomes an extra equi-join key on the broadcast,
+    so each corpus row is scored against only the label-matching queries
+    (~1/|labels| of the work of the unfiltered scan); the corpus side
+    still never shuffles."""
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    q = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), "label", F.col("v").alias("qv")
+    )
+    c = e.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
+        F.col("vec_id").alias("neighbor_id"), "label", F.col("v").alias("cv")
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), "label").select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOPK)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 _BUCKET_DIMS = 4  # sign bits of the first 4 dimensions → 16 buckets
 
 

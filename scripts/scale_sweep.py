@@ -1,0 +1,218 @@
+#!/usr/bin/env python
+"""Scale sweep: measure the headline corpus at 1x/2x/4x/8x/16x of sf0.1.
+
+Purpose (BASELINE.md BENCH gate): the toy-scale headline wall is dominated
+by Spark's fixed per-query cost (~0.3-1 s of scheduling/codegen/py4j on MBs
+of input).  This sweep shows what actually matters for the 100 TB posture:
+how the SAME plans scale as data grows, versus DuckDB running the oracle
+SQL on the same files.
+
+Method
+------
+Replicas are generated from /root/testdata/sf0.1 by unioning F offset
+copies (DuckDB, written to /tmp/spark_graft_scale/x{F}/):
+
+* Every key domain is offset per copy by ``copy_i * (max_key + 1)`` --
+  c_custkey, s_suppkey, p_partkey, o_orderkey (+ its l_orderkey /
+  o_custkey references), event_id, user_id, doc_id, vec_id -- so each
+  copy is a self-contained shard and all join/group results scale
+  LINEARLY (TPC-H's own scaling model: facts grow, dims fixed).
+* nation/region stay single-copy (fixed dims at every TPC-H SF).
+* documents.text for copy i>0 gets a word-level perturbation (suffix
+  ``~i`` on the ~25% of word occurrences where ``hash(word||i)%4==0``),
+  which keeps cross-copy shingle Jaccard ~0.1 -- far below near-dup
+  thresholds -- so dedup candidate pairs also scale linearly instead of
+  quadratically in identical-text clones.
+* The ANN query set is pinned (vec_id < 10 exists only in copy 0), so
+  similarity search measures a growing corpus against a fixed query set.
+
+Spark runs each factor in a fresh subprocess (``bench.py`` with
+``SPARK_GRAFT_SF_DIR``), so shuffle-partition sizing and the AQE gate see
+each replica's true size.  DuckDB runs the same headline queries' oracle
+SQL on the same files, warm best-of-2, in-process.
+
+Usage: python scripts/scale_sweep.py [factors ...]   (default: 1 2 4 8 16)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+OUT_ROOT = "/tmp/spark_graft_scale"
+
+#: key columns to offset, per table: {table: {column: domain_key}}.
+#: domain_key names the table.column whose max defines the offset stride,
+#: so foreign keys shift in lockstep with the keys they reference.
+OFFSETS: dict[str, dict[str, str]] = {
+    "customer": {"c_custkey": "customer.c_custkey"},
+    "supplier": {"s_suppkey": "supplier.s_suppkey"},
+    "part": {"p_partkey": "part.p_partkey"},
+    "orders": {
+        "o_orderkey": "orders.o_orderkey",
+        "o_custkey": "customer.c_custkey",
+    },
+    "lineitem": {
+        "l_orderkey": "orders.o_orderkey",
+        "l_partkey": "part.p_partkey",
+        "l_suppkey": "supplier.s_suppkey",
+    },
+    "events": {"event_id": "events.event_id", "user_id": "events.user_id"},
+    "documents": {"doc_id": "documents.doc_id"},
+    "embeddings": {"vec_id": "embeddings.vec_id"},
+}
+FIXED_TABLES = ("nation", "region")
+
+
+def _strides(con: duckdb.DuckDBPyConnection) -> dict[str, int]:
+    strides: dict[str, int] = {}
+    for spec in OFFSETS.values():
+        for domain in spec.values():
+            if domain in strides:
+                continue
+            table, col = domain.split(".")
+            (mx,) = con.sql(
+                f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchone()
+            strides[domain] = int(mx) + 1
+    return strides
+
+
+def generate(factor: int) -> str:
+    """Materialize the x{factor} replica dir; idempotent (skips if present)."""
+    out = os.path.join(OUT_ROOT, f"x{factor}")
+    done = os.path.join(out, ".done")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    strides = _strides(con)
+    for table in FIXED_TABLES:
+        con.sql(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+            f"TO '{out}/{table}.parquet' (FORMAT parquet)"
+        )
+    for table, spec in OFFSETS.items():
+        cols = [
+            r[0]
+            for r in con.sql(
+                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+            ).fetchall()
+        ]
+        exprs = []
+        for c in cols:
+            if c in spec:
+                stride = strides[spec[c]]
+                exprs.append(f"({c} + copy_i * {stride}) AS {c}")
+            elif table == "documents" and c == "text":
+                # Word-level perturbation for copies > 0 (see module doc).
+                exprs.append(
+                    "CASE WHEN copy_i = 0 THEN text ELSE array_to_string("
+                    "list_transform(string_split(text, ' '), "
+                    "w -> CASE WHEN hash(w || copy_i) % 4 = 0 "
+                    "THEN w || '~' || copy_i ELSE w END), ' ') END AS text"
+                )
+            else:
+                exprs.append(c)
+        con.sql(
+            f"COPY (SELECT {', '.join(exprs)} "
+            f"FROM read_parquet('{SRC}/{table}.parquet'), "
+            f"(SELECT unnest(range({factor})) AS copy_i)) "
+            f"TO '{out}/{table}.parquet' (FORMAT parquet)"
+        )
+    with open(done, "w") as f:
+        f.write("ok\n")
+    return out
+
+
+def spark_wall(sf_dir: str) -> dict:
+    """Run bench.py against sf_dir in a fresh subprocess; parse its JSON."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=3600,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            return json.loads(line)
+        except json.JSONDecodeError:
+            continue
+    raise RuntimeError(f"bench.py produced no JSON: {proc.stdout!r} {proc.stderr!r}")
+
+
+def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Run each headline query's oracle SQL on sf_dir, warm best-of-2."""
+    from datafusion_parallelism_spark.queries import REGISTRY
+
+    con = duckdb.connect()
+    con.sql(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    for t in list(OFFSETS) + list(FIXED_TABLES):
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    times: dict[str, float] = {}
+    for name in names:
+        oracle = REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            con.sql(oracle).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        times[name] = round(best, 3)
+    return times
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16]
+    from bench import HEADLINE
+
+    rows = []
+    for f in factors:
+        sf_dir = SRC if f == 1 else generate(f)
+        size_mb = round(
+            sum(
+                os.path.getsize(os.path.join(sf_dir, p))
+                for p in os.listdir(sf_dir)
+                if p.endswith(".parquet")
+            )
+            / 1e6,
+            1,
+        )
+        duck = duckdb_wall(sf_dir, HEADLINE)
+        spark = spark_wall(sf_dir)
+        row = {
+            "factor": f,
+            "input_mb": size_mb,
+            "spark_wall_s": spark["value"],
+            "duckdb_wall_s": round(sum(duck.values()), 3),
+            "spark_queries": spark["queries"],
+            "duckdb_queries": duck,
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
+
+    print("\nfactor  input_mb  spark_s  duckdb_s  ratio")
+    for r in rows:
+        ratio = r["spark_wall_s"] / max(r["duckdb_wall_s"], 1e-9)
+        print(
+            f"{r['factor']:>6}  {r['input_mb']:>8}  {r['spark_wall_s']:>7}"
+            f"  {r['duckdb_wall_s']:>8}  {ratio:>5.1f}"
+        )
+
+
+if __name__ == "__main__":
+    main()
