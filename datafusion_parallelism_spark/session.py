@@ -67,20 +67,27 @@ def auto_shuffle_partitions(
     """Data-proportional shuffle-partition count.
 
     Policy: one shuffle partition per ~32 MB of input, clamped to
-    [4, 4×cores].  This is the sizing rule that holds from sf0.001 to
-    100 TB: partitions grow linearly with data (so no partition exceeds
-    executor memory), the 4×cores ceiling keeps full-cluster utilization
-    with task-scheduling overhead bounded, and AQE coalescing trims the
-    remainder at runtime.  At benchmark scale (tens of MB) this chooses a
-    handful of partitions — scheduling 32 reducers for 5 MB of shuffle
-    data costs more than the shuffle itself (measured 1.6–1.8× on the
-    sf0.1 headline set).
+    [occupancy floor, 4×cores].  The bytes rule is what holds at 100 TB:
+    partitions grow linearly with data (so no partition exceeds executor
+    memory), the 4×cores ceiling keeps full-cluster utilization with
+    task-scheduling overhead bounded, and AQE coalescing trims the
+    remainder at runtime.
+
+    The occupancy floor matters in the mid range (tens–hundreds of MB,
+    below the AQE gate): ``min(cores, ceil(total / 4 MB))`` — once there
+    is ≥4 MB of input per core, every core gets a shuffle task.  Without
+    it the bytes rule schedules e.g. 3 reducers for 73 MB on 32 cores
+    (measured 2–4× slowdown on join-heavy queries at that size).  On
+    truly tiny inputs (sf0.01 correctness runs) the floor stays small —
+    scheduling 32 reducers for 5 MB costs more than the shuffle itself
+    (measured 1.6–1.8× on the sf0.1 headline set).
     """
     cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     total = dir_size(sf_dir)
     if total == 0:
         return cpus
-    return max(4, min(4 * cpus, -(-total // target_bytes)))
+    occupancy_floor = min(cpus, -(-total // (4 * 1024 * 1024)))
+    return max(4, occupancy_floor, min(4 * cpus, -(-total // target_bytes)))
 
 
 def get_spark(

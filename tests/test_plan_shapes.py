@@ -190,3 +190,26 @@ def test_block_cosine_has_no_cartesian(spark, sf_dir):
     plan = physical_plan_str(REGISTRY["dedup_embedding_cosine"].fn(spark, sf_dir))
     assert "FlatMapGroupsInPandas" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_bruteforce_is_blocked_pandas_topk(spark, sf_dir):
+    """Brute-force ANN scores query×block tiles in one vectorized
+    FlatMapGroupsInPandas — never a row-level cartesian/HOF pair scan."""
+    plan = physical_plan_str(REGISTRY["ann_bruteforce_topk"].fn(spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ann_filtered_broadcasts_query_side(spark, sf_dir):
+    """Filtered vector search joins corpus→queries on the label: the tiny
+    query side broadcasts; the corpus never shuffles."""
+    plan = physical_plan_str(REGISTRY["ann_filtered_topk"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
+    """The per-type mean/stddev aggregate (handful of rows) is broadcast
+    back against events — the fact table must not hash-shuffle for the
+    join itself."""
+    plan = physical_plan_str(REGISTRY["events_anomaly_zscore"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
