@@ -23,6 +23,8 @@ query set so the big side is never shuffled.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -303,19 +305,66 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _minhash_sigs(d: DataFrame) -> DataFrame:
     """doc_id + m0..m{N_PERMS-1} MinHash signature columns, computed with
-    ZERO shuffles: per-row ``array_min(transform(...))`` over the shingle
-    array replaces the explode + 16-min-aggregates groupBy (one full
-    shuffle of the exploded corpus saved — the dominant cost at any SF)."""
-    hs = _doc_shingles(d).select(
-        "doc_id", F.transform("shingles", lambda s: _phash(s) % P).alias("hs")
-    )
-    def perm_min(a: int, b: int) -> Column:
-        # Closure factory (not default-arg lambdas): pyspark reads the
-        # lambda's arity to build the HOF, so extra params would break it.
-        return F.array_min(F.transform("hs", lambda h: (F.lit(a) * h + F.lit(b)) % P))
+    ZERO shuffles: ONE Arrow-batched pandas UDF goes text → shingle set →
+    md5 hashes → 16 permutation-mins, with the permutation arithmetic
+    batched in NumPy (broadcast multiply-mod + ``minimum.reduceat``
+    segment-min over the flattened per-doc hash arrays).
 
-    return hs.select(
-        "doc_id", *[perm_min(a, b).alias(f"m{i}") for i, (a, b) in enumerate(PERMS)]
+    Why not Catalyst expressions: shingling and per-shingle hashing are
+    higher-order ``transform`` lambdas, which Spark evaluates INTERPRETED
+    per element (no whole-stage codegen) — measured 4.6 s (shingles)
+    + 4.0 s (md5 HOF) + 2.3 s (perm-min HOFs) of the query's 19 s wall at
+    16×sf0.1; this UDF computes identical values in ~1 s.  Identical
+    because every step is exact integer math: ``int(md5(s)[:15], 16)``
+    equals ``conv(substring(md5(s),1,15),16,10)``, and a, b, h < P = 2³¹−1
+    keeps a·h+b < 2⁶² inside int64.  The shingle construction mirrors
+    ``word_shingles`` (3-token windows over a single-space split; short
+    docs yield one truncated shingle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def minhash_from_text(texts: pd.Series) -> pd.Series:
+        from hashlib import md5
+
+        import numpy as np
+
+        A = np.array([a for a, _ in PERMS], dtype=np.int64)[:, None]
+        B = np.array([b for _, b in PERMS], dtype=np.int64)[:, None]
+        arrs: list = []
+        for text in texts:
+            toks = text.split(" ")
+            hs = {
+                int(
+                    md5(" ".join(toks[i : i + 3]).encode()).hexdigest()[:15], 16
+                )
+                % P
+                for i in range(max(len(toks) - 2, 1))
+            }
+            arrs.append(np.fromiter(hs, dtype=np.int64, count=len(hs)))
+        lens = np.array([len(x) for x in arrs])
+        out: list = [None] * len(arrs)
+        nonempty = np.nonzero(lens)[0]
+        if len(nonempty):
+            flat = np.concatenate([arrs[i] for i in nonempty])
+            vals = (A * flat[None, :] + B) % P  # (N_PERMS, total)
+            offsets = np.concatenate(([0], np.cumsum(lens[nonempty])[:-1]))
+            mins = np.minimum.reduceat(vals, offsets, axis=1)  # (N_PERMS, n)
+            for k, i in enumerate(nonempty):
+                out[i] = mins[:, k]
+        return pd.Series(out)
+
+    # The signature UDF is CPU-bound, so its parallelism must come from the
+    # cluster, not from the scan's byte-proportional splits (a compressed
+    # text corpus is tiny on disk relative to its compute: the whole 16×
+    # benchmark corpus is one 9 MB split = one task).  One round-robin
+    # shuffle of (doc_id, text) fans the work out to every core; downstream
+    # re-shuffles on (band, sig) anyway, so no partitioning is lost.
+    spread = d.select("doc_id", "text").repartition(
+        d.sparkSession.sparkContext.defaultParallelism
+    )
+    sigs = spread.select("doc_id", minhash_from_text("text").alias("m"))
+    return sigs.select(
+        "doc_id", *[F.col("m").getItem(i).alias(f"m{i}") for i in range(N_PERMS)]
     )
 
 
@@ -402,8 +451,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # Materialized once: the candidate list feeds THREE consumers below
+        # (two sides of the needed-docs union + the verify join), and Spark
+        # has no cross-branch CSE — without this the whole sig+band+join
+        # pipeline would re-execute per consumer.  The list is tiny (only
+        # banding collisions), same pattern as connected_components.
+        .localCheckpoint(eager=False)
     )
-    ds = _doc_shingles(d)
+    # Shingle only docs that appear in some candidate pair (a small
+    # fraction of the corpus at any scale): exact-Jaccard verification
+    # needs shingle sets, but computing them for every document would cost
+    # a second full interpreted-HOF pass over the corpus for nothing.
+    needed = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .union(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    ds = _doc_shingles(d.join(F.broadcast(needed), "doc_id"))
     pairs = cand.join(ds.alias("da"), F.col("da.doc_id") == F.col("doc_a")).join(
         ds.alias("db"), F.col("db.doc_id") == F.col("doc_b")
     )
