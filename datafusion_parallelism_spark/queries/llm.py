@@ -43,7 +43,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vectors import as_double, cosine
-from ..session import load
+from ..session import load, spread_for_compute
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -84,6 +84,15 @@ _STOPRATIO_SQL = (
 )
 
 
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with compute-grade parallelism: text pipelines are
+    CPU-bound (interpreted HOFs / pandas UDFs), but the corpus's
+    compressed on-disk size gives the scan only a handful of row-group
+    splits (3 tasks on 32 cores at 16×sf0.1 — measured 3× wall on
+    text_stats).  No-op whenever the scan already has ≥cores splits."""
+    return spread_for_compute(load(spark, sf_dir, "documents"))
+
+
 def _lang_case_sql() -> str:
     whens = []
     for lang, markers in LANG_MARKERS.items():  # insertion order = priority
@@ -114,7 +123,7 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (alpha runs / digit runs / single symbols), punctuation ratio,
     mean token length.  All JVM-side string kernels; scales as a pure map
     over the scan (no shuffle)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return d.select(
         "doc_id",
@@ -137,7 +146,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-word language ID vs the labeled ``lang`` column (confusion
     counts).  Map + one small aggregation; the marker table would be a
     broadcast dictionary at production scale."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select("lang", lang_id(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
@@ -162,7 +171,7 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Heuristic quality-score histogram (length / stopword-density /
     punctuation components — the classic pretraining-filter shape)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select(F.round(quality_score(F.col("text")), 2).alias("score"))
         .groupBy("score")
@@ -183,7 +192,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_stopword_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus profile (stopword density + mean length) — the
     aggregate view a data-mixing dashboard reads."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     return d.groupBy("source").agg(
         F.round(F.avg(stopword_ratio(t)), 6).alias("avg_stop_ratio"),
@@ -526,7 +535,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document 32-bit SimHash signature (frequency-weighted bit votes
     over portable token hashes).  Pure map + single aggregation — the
     signature table a banded hamming-join consumes."""
-    return _simhash(load(spark, sf_dir, "documents"))
+    return _simhash(_docs_spread(spark, sf_dir))
 
 
 @query(
@@ -557,7 +566,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     one exact byte and meets in that (byte index, byte value) bucket —
     never all pairs, and provably no missed pairs.  (A higher threshold
     needs more blocks: detecting hamming ≤ h requires h+1 blocks.)"""
-    sigs = _simhash(load(spark, sf_dir, "documents"))
+    sigs = _simhash(_docs_spread(spark, sf_dir))
     bytes_df = sigs.select(
         "doc_id",
         "simhash",
@@ -1171,7 +1180,7 @@ def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate(); n_same counts exact-sequence duplicates."""
     from pyspark.sql import Window
 
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     rh = F.aggregate(
         F.transform(tokens(F.col("text")), lambda t: _phash(t) % P),
         F.lit(0).cast("long"),
@@ -1205,7 +1214,7 @@ def text_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenizer training; at 100 TB it is one shuffle on the token and the
     top-k is a tiny driver-side ORDER BY + LIMIT that Spark executes as
     per-partition partial top-k before the final merge."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select(F.explode(tokens(F.col("text"))).alias("token"))
         .groupBy("token")
@@ -1245,7 +1254,7 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality threshold + length bounds → the surviving corpus.  Pure map +
     filter over the scan (zero shuffles at any scale); thresholds are
     rounded identically on both sides so fp noise cannot flip the gate."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     t = F.col("text")
     score = F.round(quality_score(t), 2)
     return (
@@ -1342,7 +1351,7 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     text_vocab_topk): same explode → count → deterministic top-k plan, with
     the bigram arrays built per row before exploding (token array
     materialized first — see _doc_shingles on why that matters)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     return (
         d.select(tokens(F.col("text")).alias("toks"))
         .select(F.explode(word_shingles(F.col("toks"), 2)).alias("bigram"))

@@ -158,6 +158,23 @@ def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
     return spark
 
 
+def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the plan currently has fewer partitions
+    than the cluster has cores — use before CPU-bound per-row stages
+    (interpreted HOFs, pandas UDFs over text).
+
+    Why: scan parallelism is byte-proportional and row-group-bounded, but
+    compressed text corpora are tiny on disk relative to their compute (a
+    9 MB parquet file = 3 row groups = 3 tasks on 32 cores).  When the
+    scan already yields ≥cores partitions (any real data size), this is a
+    no-op — no shuffle is added at scale."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def force_execute(df: DataFrame) -> None:
     """Run a DataFrame's full plan without materializing rows on the
     driver (noop sink) — the measurement convention of both harnesses."""
