@@ -283,22 +283,22 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     |docs|²; hot shingles are the skew risk and AQE's skew-join split is
     the mitigation (reference analog: work-stealing repartition, SURVEY
     A22)."""
-    d = load(spark, sf_dir, "documents")
+    d = _docs_spread(spark, sf_dir)
     # Explode fan-out (~50 shingles/doc) makes the bytes-proportional
     # shuffle-partition default too low for the self-join; repartition by
-    # the join key at full parallelism (co-partitions BOTH aliases — the
-    # join adds no further exchange, and the following distinct reuses the
-    # (doc_a, doc_b) repartitioning).
+    # the join key at full parallelism (co-partitions BOTH aliases, so the
+    # join adds no further exchange).  The pair count deliberately has NO
+    # repartition before it: groupBy keeps its map-side partial aggregate
+    # that way, so repeated (doc_a, doc_b) pairs combine before the
+    # shuffle instead of all Σdf(s)² raw pairs crossing the network
+    # (measured 49.6 → 45.5 s at 16×; +input spread → 33.1 s, vs DuckDB
+    # 45.9 s for the identical algorithm).
     n_part = spark.sparkContext.defaultParallelism
     sh = _shingle_table(d).repartition(n_part, "s")
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        # Align the repartitioning with the grouping keys: the groupBy then
-        # adds no exchange and the count runs at full parallelism instead
-        # of the (bytes-derived) session shuffle-partition count.
-        .repartition(n_part, "doc_a", "doc_b")
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
