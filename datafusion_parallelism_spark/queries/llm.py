@@ -1269,6 +1269,43 @@ def corpus_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    bench AS (
+      SELECT DISTINCT s FROM sh JOIN documents USING (doc_id)
+      WHERE source = 'src1'
+    ),
+    hits AS (
+      SELECT sh.doc_id, COUNT(*) AS n_shared
+      FROM sh JOIN documents d USING (doc_id)
+      JOIN bench b ON sh.s = b.s
+      WHERE d.source <> 'src1'
+      GROUP BY 1
+    )
+    SELECT doc_id, n_shared FROM hits
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs (every source but the
+    held-out 'src1' benchmark set) that share ≥1 n-gram shingle with any
+    benchmark doc, with the shared-shingle count (the downstream drop/
+    review gate).  Scale shape: the benchmark shingle set is tiny relative
+    to the corpus (eval suites vs 100 TB), so it BROADCASTS and the
+    training side is one map-side semi-join + aggregation — the corpus
+    never shuffles for the membership test."""
+    d = _docs_spread(spark, sf_dir)
+    sh = _shingle_table(d).join(d.select("doc_id", "source"), "doc_id")
+    bench = sh.filter(F.col("source") == "src1").select("s").distinct()
+    return (
+        sh.filter(F.col("source") != "src1")
+        .join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+
+
+@query(
     "text_length_histogram",
     oracle="""
     SELECT CAST(floor(n_chars / 100.0) AS BIGINT) * 100 AS bucket_lo,

@@ -165,3 +165,27 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table("q_stream_dedup")
+
+
+@query(
+    "stream_static_enrich",
+    oracle="""
+    SELECT e.event_id, e.user_id, c.c_mktsegment AS segment,
+           ROUND(e.value, 2) AS value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    """,
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the events stream joined per-batch to the
+    broadcast customer dimension (stateless — no watermark or join state).
+    The completed stream must equal the batch join DuckDB computes."""
+    from ..session import load
+    from ..streaming.events import static_enrich_stream
+
+    dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    run_to_memory(
+        static_enrich_stream(read_events_stream(spark, sf_dir), dim),
+        "q_stream_enrich",
+        output_mode="append",
+    )
+    return spark.table("q_stream_enrich")

@@ -217,3 +217,22 @@ def dedup_keys_stream(events: DataFrame) -> DataFrame:
         .dropDuplicates(["user_id", "event_type"])
         .select("user_id", "event_type")
     )
+
+
+def static_enrich_stream(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """STREAM-STATIC enrichment join — the most common production
+    streaming join: each micro-batch hash-joins against a broadcast
+    dimension snapshot.  Stateless (no watermark, no join state): the
+    static side is re-broadcast per batch, so dimension updates between
+    batches are picked up and state never accumulates.  At 100 TB/day the
+    stream side stays partition-parallel and only the dim broadcasts."""
+    from pyspark.sql import functions as F
+
+    return events.join(
+        F.broadcast(dim), events["user_id"] == dim["c_custkey"]
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("c_mktsegment").alias("segment"),
+        F.round("value", 2).alias("value"),
+    )
