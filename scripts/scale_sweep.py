@@ -73,7 +73,7 @@ OFFSETS: dict[str, dict[str, str]] = {
 FIXED_TABLES = ("nation", "region")
 
 
-def _strides(con: duckdb.DuckDBPyConnection) -> dict[str, int]:
+def _strides(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
     strides: dict[str, int] = {}
     for spec in OFFSETS.values():
         for domain in spec.values():
@@ -81,31 +81,31 @@ def _strides(con: duckdb.DuckDBPyConnection) -> dict[str, int]:
                 continue
             table, col = domain.split(".")
             (mx,) = con.sql(
-                f"SELECT MAX({col}) FROM read_parquet('{SRC}/{table}.parquet')"
+                f"SELECT MAX({col}) FROM read_parquet('{src}/{table}.parquet')"
             ).fetchone()
             strides[domain] = int(mx) + 1
     return strides
 
 
-def generate(factor: int) -> str:
+def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
     """Materialize the x{factor} replica dir; idempotent (skips if present)."""
-    out = os.path.join(OUT_ROOT, f"x{factor}")
+    out = os.path.join(out_root, f"x{factor}")
     done = os.path.join(out, ".done")
     if os.path.exists(done):
         return out
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
-    strides = _strides(con)
+    strides = _strides(con, src)
     for table in FIXED_TABLES:
         con.sql(
-            f"COPY (SELECT * FROM read_parquet('{SRC}/{table}.parquet')) "
+            f"COPY (SELECT * FROM read_parquet('{src}/{table}.parquet')) "
             f"TO '{out}/{table}.parquet' (FORMAT parquet)"
         )
     for table, spec in OFFSETS.items():
         cols = [
             r[0]
             for r in con.sql(
-                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{table}.parquet')"
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{table}.parquet')"
             ).fetchall()
         ]
         exprs = []
@@ -114,18 +114,22 @@ def generate(factor: int) -> str:
                 stride = strides[spec[c]]
                 exprs.append(f"({c} + copy_i * {stride}) AS {c}")
             elif table == "documents" and c == "text":
-                # Word-level perturbation for copies > 0 (see module doc).
+                # Word-level perturbation for copies > 0 (see module doc),
+                # plus a per-copy sentinel token: short docs can escape the
+                # hash mask entirely (P≈0.75^n_words) and would otherwise be
+                # exact cross-copy clones, breaking dedup-exact linearity.
                 exprs.append(
-                    "CASE WHEN copy_i = 0 THEN text ELSE array_to_string("
+                    "CASE WHEN copy_i = 0 THEN text ELSE concat(array_to_string("
                     "list_transform(string_split(text, ' '), "
                     "w -> CASE WHEN hash(w || copy_i) % 4 = 0 "
-                    "THEN w || '~' || copy_i ELSE w END), ' ') END AS text"
+                    "THEN w || '~' || copy_i ELSE w END), ' '), "
+                    "' zcopy', copy_i) END AS text"
                 )
             else:
                 exprs.append(c)
         con.sql(
             f"COPY (SELECT {', '.join(exprs)} "
-            f"FROM read_parquet('{SRC}/{table}.parquet'), "
+            f"FROM read_parquet('{src}/{table}.parquet'), "
             f"(SELECT unnest(range({factor})) AS copy_i)) "
             f"TO '{out}/{table}.parquet' (FORMAT parquet)"
         )
