@@ -86,6 +86,47 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "window_range_frame_30d",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           COUNT(*) OVER w AS n_trailing,
+           ROUND(SUM(o_totalprice) OVER w, 2) AS sum_trailing
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                 RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_range_frame_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-based (RANGE) window frame: each order's trailing-30-day
+    count/spend for its customer.  RANGE frames include all ties of the
+    ordering value, so the result is deterministic without a unique
+    tiebreak — unlike ROWS frames.  Spark requires a numeric ordering for
+    offset RANGE frames → order by epoch seconds (whole-day timestamps,
+    so ns→µs truncation and double-epoch on the oracle side agree
+    exactly)."""
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        # NTZ→LTZ→long: Spark 4 forbids a direct TIMESTAMP_NTZ→BIGINT cast;
+        # the session timezone is pinned UTC, so this epoch equals DuckDB's
+        # epoch() of the same naive timestamp.
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("ts"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("ts")
+        .rangeBetween(-30 * 86400, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("n_trailing"),
+        F.round(F.sum("o_totalprice").over(w), 2).alias("sum_trailing"),
+    )
+
+
+@query(
     "window_dense_rank_acctbal",
     oracle="""
     SELECT c_nationkey, c_custkey, drnk
