@@ -213,3 +213,11 @@ def test_anomaly_zscore_broadcasts_stats(spark, sf_dir):
     join itself."""
     plan = physical_plan_str(REGISTRY["events_anomaly_zscore"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
+    """The benchmark shingle set must broadcast (eval suites are tiny vs
+    a training corpus); the training side then never shuffles for the
+    membership test."""
+    plan = physical_plan_str(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
