@@ -351,3 +351,32 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return customer.join(
         supplier, customer["ck"].eqNullSafe(supplier["sk"])
     ).select("c_custkey", "s_name")
+
+
+@query(
+    "join_salted_hotkey",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer through the manual SALTED join
+    (operators/skew.salted_join, 8 salts): the engine's second-line skew
+    answer after AQE skew-split, mirroring the reference's work-stealing
+    repartitioner intent (work_stealing_repartition_exec.rs:50-91) with a
+    partition-spreading rewrite instead of queue stealing.  The oracle is
+    the PLAIN join — salting must be invisible in the results.  Total extra
+    work is |customer| x 7 dimension-row copies; each hot o_custkey hash
+    bucket is spread over 8 shuffle partitions."""
+    from ..operators.skew import salted_join
+
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    j = salted_join(orders, customer, [("o_custkey", "c_custkey")], n_salts=8)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )

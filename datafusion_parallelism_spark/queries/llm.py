@@ -1397,3 +1397,90 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("bigram"))
         .limit(_VOCAB_TOPK)
     )
+
+
+_REPETITION_THRESHOLD = 0.15  # p95 of top-token ratio on the driver corpus
+
+
+@query(
+    "corpus_repetition_filter",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+    SELECT doc_id, ROUND(MAX(n) * 1.0 / SUM(n), 6) AS top_tok_ratio
+    FROM c
+    GROUP BY doc_id
+    HAVING MAX(n) * 1.0 / SUM(n) > {_REPETITION_THRESHOLD}
+    """,
+)
+def corpus_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filter (Gopher/C4-style quality heuristic): flag documents
+    whose single most frequent token accounts for > 15% of all tokens —
+    boilerplate, keyword stuffing, and generation loops all trip this.
+
+    Plan: explode tokens → (doc_id, token) counts → per-doc max/sum ratio.
+    Both aggregations get automatic map-side partial combine, and both are
+    keyed by doc_id, so AQE plans ONE real shuffle of per-doc-token partial
+    counts (far smaller than the exploded stream) — scales linearly with
+    corpus size, no driver-side state.
+    """
+    d = _docs_spread(spark, sf_dir)
+    ratio = F.max("n") / F.sum("n")
+    return (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.round(ratio, 6).alias("top_tok_ratio"), ratio.alias("__raw"))
+        .where(F.col("__raw") > _REPETITION_THRESHOLD)
+        .drop("__raw")
+    )
+
+
+@query(
+    "text_tfidf_top_term",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents),
+    tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+    df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.tok,
+               ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 6) AS tfidf
+        FROM tf JOIN df USING (tok) CROSS JOIN n
+    )
+    SELECT doc_id, tok AS top_term, tfidf
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, tok) AS rn
+          FROM scored)
+    WHERE rn = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus TF-IDF: each document's most characteristic term
+    (tf x ln((N+1)/(df+1)), smoothed IDF).  The document-frequency table is
+    vocabulary-sized — tiny relative to the corpus — so Spark broadcasts it
+    into the score join; the only real shuffle is the (doc_id, token) term
+    count.  Per-doc argmax via WindowGroupLimit (rank over doc_id) — ties
+    broken on the ROUNDED score then token text, so the winner is
+    engine-independent."""
+    from pyspark.sql import Window
+
+    d = _docs_spread(spark, sf_dir)
+    terms = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    tf = terms.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("tf"))
+    df = terms.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.count()  # scalar; the corpus row count is a metadata-cheap agg
+    scored = tf.join(F.broadcast(df), "tok").select(
+        "doc_id",
+        "tok",
+        F.round(
+            F.col("tf") * F.log((n_docs + 1.0) / (F.col("df") + 1.0)), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("tok"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
