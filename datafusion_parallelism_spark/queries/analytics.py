@@ -916,3 +916,94 @@ def agg_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("value"), 6).alias("mean"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# --------------------------------------------------------------------------
+# Time-series gap fill (dense hourly spine via sequence + explode)
+# --------------------------------------------------------------------------
+@query(
+    "events_gap_fill",
+    oracle="""
+    WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events),
+    b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM e),
+    hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    types AS (SELECT DISTINCT event_type FROM e),
+    c AS (SELECT event_type, hr, COUNT(*) AS n, ROUND(SUM(value), 2) AS v
+          FROM e GROUP BY 1, 2)
+    SELECT t.event_type, strftime(h.hr, '%Y-%m-%d %H:00') AS hour,
+           COALESCE(c.n, 0) AS n_events, COALESCE(c.v, 0) AS total_value
+    FROM hrs h CROSS JOIN types t
+    LEFT JOIN c ON c.event_type = t.event_type AND c.hr = h.hr
+    """,
+)
+def events_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly time series per event type with zero-filled gaps — the
+    standard pre-step for charting/forecasting over sparse event data.
+
+    The spine (every hour between the corpus min and max, x distinct event
+    types) is generated DISTRIBUTED via ``sequence``+``explode`` from a
+    1-row bounds aggregate — no driver-side range loop — then left-joins
+    the per-(type, hour) aggregate.  Both the spine and the aggregate are
+    tiny relative to the raw events (hours x types rows), so at 100 TB this
+    plan reads the events once, reduces map-side, and the gap-fill join is
+    a broadcast.  Hour emitted as a formatted string (events.ts is
+    ns-precision in parquet; Spark truncates to us — date_trunc('hour')
+    makes the engines agree)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr"), "value"
+    )
+    counts = e.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+    bounds = e.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("hr")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    return grid.join(counts, ["event_type", "hr"], "left").select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("total_value", F.lit(0.0)).alias("total_value"),
+    )
+
+
+@query(
+    "window_first_last",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY o_custkey ORDER BY o_totalprice
+           ), 6) AS spend_cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIRST_VALUE / LAST_VALUE / CUME_DIST per customer: each order tagged
+    with the customer's first and latest order id and the cumulative
+    distribution of its price.  LAST_VALUE needs the explicit
+    unbounded-following frame (the default frame stops at CURRENT ROW —
+    same trap in every engine).  CUME_DIST is value-based, so ties on
+    o_totalprice resolve identically in Spark and DuckDB without a
+    tiebreaker column.  One shuffle on o_custkey serves all three
+    windows."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    wc = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(wfull).alias("last_order"),
+        F.round(F.cume_dist().over(wc), 6).alias("spend_cume"),
+    )

@@ -57,6 +57,7 @@ SIMHASH_BITS = 32
 
 JACCARD_THRESHOLD = 0.8  # driver corpus plants ~0.99-jaccard near-dup pairs
 COSINE_THRESHOLD = 0.45  # embeddings are clustered but not duplicated
+CONTAINMENT_THRESHOLD = 0.5  # |A∩B|/min — catches sub-document inclusion
 
 
 def _phash(col: Column) -> Column:
@@ -309,6 +310,55 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
         .select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+@query(
+    "dedup_containment",
+    oracle=f"""
+    WITH {_SHINGLE_CTE},
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(c * 1.0 / LEAST(ca.n, cb.n), 4) AS containment
+    FROM shared
+    JOIN cnt ca ON ca.doc_id = doc_a
+    JOIN cnt cb ON cb.doc_id = doc_b
+    WHERE ROUND(c * 1.0 / LEAST(ca.n, cb.n), 4) >= {CONTAINMENT_THRESHOLD}
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle CONTAINMENT near-dup pairs: |A∩B| / min(|A|, |B|).  Jaccard
+    divides by the union, so a short document pasted inside a long one
+    scores low; containment divides by the smaller set and still fires —
+    the standard metric for sub-document duplication (quotes, boilerplate
+    wrappers, chunked re-posts) in corpus curation.
+
+    Same inverted-shingle-index plan as ``dedup_ngram_jaccard`` (blocked
+    self-join on the shingle value, map-side-combined pair counts), only
+    the final scoring expression differs — at 100 TB both queries share the
+    Σ df(s)² cost profile and the AQE skew-split mitigation for hot
+    shingles."""
+    d = _docs_spread(spark, sf_dir)
+    n_part = spark.sparkContext.defaultParallelism
+    sh = _shingle_table(d).repartition(n_part, "s")
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    cnt = _doc_shingles(d).select("doc_id", "n")
+    cont = F.round(F.col("c") / F.least(F.col("ca.n"), F.col("cb.n")), 4)
+    return (
+        shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
+        .join(cnt.alias("cb"), F.col("cb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", cont.alias("containment"))
+        .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
     )
 
 
