@@ -1007,3 +1007,70 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.last("o_orderkey").over(wfull).alias("last_order"),
         F.round(F.cume_dist().over(wc), 6).alias("spend_cume"),
     )
+
+
+@query(
+    "events_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS e1,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential-pattern mining: the 10 most frequent 3-step event-type
+    paths across user timelines (funnel discovery — the exploratory
+    sibling of the fixed-order ``events_funnel``).  LEAD twice over one
+    (user_id, ts) window — a single shuffle on user_id, then a count over
+    a tiny distinct-path domain (|event_types|^3 keys), so the global
+    top-k is a TakeOrderedAndProject, never a full sort.  Ties broken by
+    path string so the LIMIT cutoff is deterministic."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    return (
+        s.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "path")
+        .limit(10)
+    )
+
+
+@query(
+    "agg_corr_by_flag",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           ROUND(CORR(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 2) AS price_per_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates per return flag: Pearson correlation and
+    the regression slope of price on quantity (CORR / REGR_SLOPE — the
+    numeric-profile aggregates a data-quality dashboard runs).  Both are
+    scale-free or ratio-form, so partition summation order perturbs them
+    only at ~1e-12 — rounding absorbs it.  Single partial+final hash
+    aggregate over 3 groups; no shuffle pressure at any SF."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
+    )

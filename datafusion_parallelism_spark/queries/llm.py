@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -1533,4 +1533,117 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("tok").alias("top_term"), "tfidf")
+    )
+
+
+@query(
+    "mix_hash_holdout",
+    oracle="""
+    SELECT source, split, COUNT(*) AS n FROM (
+      SELECT source,
+             CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                  THEN 'train' ELSE 'holdout' END AS split
+      FROM documents
+    ) GROUP BY source, split
+    """,
+)
+def mix_hash_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/holdout split by content-stable hash: a doc
+    lands in the same split on every run, every engine, every cluster
+    size (md5 prefix < 'e6' hex ~= 89.8% train) — the reproducible
+    alternative to RNG sampling for eval-set carve-outs.  Pure map-side
+    expression (no shuffle until the tiny per-source count), so it costs
+    one scan at any SF."""
+    d = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2) < "e6", "train"
+    ).otherwise("holdout")
+    return (
+        d.select("source", split.alias("split"))
+        .groupBy("source", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "mix_hash_reservoir",
+    oracle="""
+    SELECT source, doc_id FROM (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk <= 20
+    """,
+)
+def mix_hash_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source k-sample (k=20): rank docs inside each
+    source by md5(doc_id) and keep the first k — a reproducible
+    'reservoir' whose membership is stable under corpus growth (a doc is
+    evicted only when a smaller hash arrives, never reshuffled).  The
+    hash order is uniform, so the sample is unbiased; per-group top-k
+    plans as WindowGroupLimit (partial limit before the shuffle), not a
+    full per-source sort."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("source", "doc_id")
+    )
+
+
+@query(
+    "corpus_pack_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id ROWS UNBOUNDED PRECEDING
+             ) AS cum
+      FROM t
+    )
+    SELECT source,
+           CAST(FLOOR((cum - n_tokens) / 512.0) AS BIGINT) AS chunk_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS chunk_tokens
+    FROM c GROUP BY source, chunk_id
+    """,
+)
+def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sequence packing: assign docs (in stable doc_id order
+    within each source) to consecutive 512-token training chunks by
+    cumulative token count, and report each chunk's fill.  The running
+    sum is windowed PER SOURCE, never globally — a global total order is
+    the one shape that cannot scale, while per-partition packing keeps
+    one shuffle on the partition key and streams the frame.  Chunk ids
+    derive from the cumulative count *before* each doc, so a doc that
+    straddles a boundary opens the next chunk (greedy packing)."""
+    d = load(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t = d.select(
+        "source", "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    return (
+        c.withColumn(
+            "chunk_id",
+            F.floor((F.col("cum") - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+        )
+        .groupBy("source", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("chunk_tokens"),
+        )
     )
