@@ -181,6 +181,13 @@ def force_execute(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+#: (session id, table name) -> (sf_dir, DataFrame) for views already
+#: registered — every SQL-entry query calls register_tables, and without the
+#: memo each call re-issues ~2 py4j roundtrips per table (scan + view DDL),
+#: a fixed cost that dominates small-scale measurements.
+_REGISTERED: dict[tuple[int, str], tuple[str, DataFrame]] = {}
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
@@ -189,16 +196,24 @@ def register_tables(
     Mirrors ``tpc/src/main.rs:198-224``: each ``<name>.parquet`` file (or
     directory of part files) in the data dir becomes table ``<name>``.
     Missing files are skipped so the registrar also works on partial dirs.
+    Idempotent per (session, sf_dir): repeat calls for views that already
+    point at the same data dir are memoized driver-side.
     """
     from .sources.parquet import read_parquet
 
     out: dict[str, DataFrame] = {}
+    key_base = id(spark)
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
+        cached = _REGISTERED.get((key_base, name))
+        if cached is not None and cached[0] == sf_dir and cached[1].sparkSession is spark:
+            out[name] = cached[1]
+            continue
         df = read_parquet(spark, path)
         df.createOrReplaceTempView(name)
+        _REGISTERED[(key_base, name)] = (sf_dir, df)
         out[name] = df
     return out
 

@@ -60,6 +60,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(batch_schema).parquet(stream_path)
     for name in _nanos_timestamp_columns(path):
         stream = stream.withColumn(name, nanos_to_timestamp(name))
+    # Watermarks require TIMESTAMP (LTZ); µs-no-tz parquet columns arrive as
+    # TIMESTAMP_NTZ.  The session timezone is pinned to UTC (session.py), so
+    # the cast is value-identical to the batch scan's naive timestamps.
+    from pyspark.sql.types import TimestampNTZType
+
+    for field in stream.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            stream = stream.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return stream
 
 
