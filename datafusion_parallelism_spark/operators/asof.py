@@ -34,20 +34,27 @@ def asof_join(
     right_ts: str,
     right_cols: Sequence[str] | None = None,
     how: str = "left",
+    direction: str = "backward",
 ) -> DataFrame:
-    """As-of join: latest right row per key with right_ts <= left_ts.
+    """As-of join: nearest right row per key on one side of left_ts.
 
     ``on`` — equi key column name(s) shared by both inputs;
     ``right_cols`` — right columns to attach (default: all non-key,
     non-timestamp columns);
     ``how`` — 'left' keeps unmatched left rows (right columns null),
-    'inner' drops them.
+    'inner' drops them;
+    ``direction`` — 'backward' (latest right with right_ts <= left_ts,
+    DuckDB ``ON l.ts >= r.ts``) or 'forward' (earliest right with
+    right_ts >= left_ts, DuckDB ``ON l.ts <= r.ts``).  Ties match in
+    both directions.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
     left_cols = [c for c in left.columns if c not in keys and c != left_ts]
     r_struct = F.struct(*[F.col(c) for c in right_cols])
@@ -75,12 +82,24 @@ def asof_join(
     )
     unioned = l_tagged.unionByName(r_tagged)
 
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy("__ts", "__side")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    filled = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    if direction == "backward":
+        # Right rows sort BEFORE left rows on tied ts (side 0 < 1), so a
+        # right row at ts == left ts is inside the preceding frame.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy("__ts", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = unioned.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+    else:
+        # Forward: left rows sort BEFORE right rows on tied ts (side desc),
+        # so a right row at ts == left ts is inside the following frame.
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__ts").asc(), F.col("__side").desc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        filled = unioned.withColumn("__m", F.first("__r", ignorenulls=True).over(w))
     keep = F.col("__side") == 1
     if how == "inner":
         keep = keep & F.col("__m").isNotNull()

@@ -1074,3 +1074,141 @@ def agg_corr_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
         F.round(F.regr_slope("l_extendedprice", "l_quantity"), 2).alias("price_per_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round-2 coverage: forward as-of, FILTER aggregates, listagg, moving avg
+# --------------------------------------------------------------------------
+@query(
+    "events_asof_next_click",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    )
+    SELECT p.user_id, p.purchase_id, p.purchase_value, c.click_id, c.click_value
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts <= c.ts
+    """,
+)
+def events_asof_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase joined to the user's EARLIEST
+    click at-or-after it (operators/asof.py direction='forward' — same
+    union+window plan as backward, one key shuffle, frame flipped to
+    [current, unbounded following]).  Oracle is DuckDB's native ASOF with
+    the inequality reversed (``p.ts <= c.ts``)."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        direction="forward",
+    ).select("user_id", "purchase_id", "purchase_value", "click_id", "click_value")
+
+
+_FILTERED_SUMS_SQL = """
+SELECT l_returnflag,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount > 0.05), 2)
+         AS rev_hi_disc,
+       ROUND(SUM(l_extendedprice) FILTER (WHERE l_discount <= 0.05), 2)
+         AS rev_lo_disc,
+       COUNT(*) FILTER (WHERE l_tax = 0) AS n_no_tax
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_filtered_sums", oracle=_FILTERED_SUMS_SQL)
+def agg_filtered_sums(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` aggregate clause — conditional partial
+    sums in ONE pass over the fact table (the declarative form of the
+    sum(case when) idiom; Catalyst plans it as a single partial+final
+    hash aggregate, no extra scan or shuffle per condition).  Identical
+    SQL text runs on both engines."""
+    return _sql(spark, sf_dir, _FILTERED_SUMS_SQL)
+
+
+@query(
+    "agg_listagg_orders",
+    oracle="""
+    SELECT o_custkey,
+           COUNT(*) AS n_orders,
+           string_agg(CAST(o_orderkey AS VARCHAR), ','
+                      ORDER BY CAST(o_orderkey AS VARCHAR)) AS order_keys
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def agg_listagg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG / string_agg): per customer,
+    the comma-joined list of order keys in lexical order.  Expressed as
+    ``array_join(array_sort(collect_list(...)))`` — collect_list is a
+    partial-aggregating JVM-side agg, the sort happens per group AFTER
+    aggregation (no per-row window), and lexical order is pinned on both
+    sides so the joined string is deterministic."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.array_join(
+            F.array_sort(F.collect_list(F.col("o_orderkey").cast("string"))), ","
+        ).alias("order_keys"),
+    )
+
+
+@query(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE), 2)
+             AS sum_7,
+           COUNT(*) OVER w AS n_7
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row moving frame (sum + count) of order totals per
+    customer — the ROWS-frame complement of the value-based RANGE frame
+    query (window_range_frame_30d).  One shuffle on o_custkey + a
+    per-partition sort; the frame is bounded so state per row is O(7) at
+    any scale.  Ties in o_orderdate are broken by o_orderkey, making the
+    frame contents deterministic — and the frame SUM runs in DECIMAL
+    (exact, engine- and order-independent; a double AVG differs at the
+    cent between engines' sliding-frame accumulators, and an exact-tie
+    quotient .xx5 rounds differently on decimal-string vs binary-double
+    engines).  The consumer divides sum_7/n_7 for the average."""
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-6, 0)
+    )
+    s = F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(s, 2).alias("sum_7"),
+        F.count(F.lit(1)).over(w).alias("n_7"),
+    )

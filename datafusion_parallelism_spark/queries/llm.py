@@ -1647,3 +1647,44 @@ def corpus_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("chunk_tokens"),
         )
     )
+
+
+# ==========================================================================
+# Vector utilities (array higher-order functions over the embedding column)
+# ==========================================================================
+@query(
+    "vec_l2_normalize",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id, label, len(embedding) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+      FROM embeddings
+    )
+    SELECT vec_id, label, dim,
+           ROUND(l2, 6) AS l2_norm,
+           ROUND(1.0 / l2, 6) AS inv_norm
+    FROM n
+    """,
+)
+def vec_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norms for embedding normalization, entirely in Catalyst array
+    higher-order functions: ``aggregate(transform(vec, x -> x*x), sum)``
+    per row — a pure map, no shuffle, no Python.  The inverse norm is what
+    a normalize-then-dot pipeline multiplies through (cosine becomes a
+    plain dot product downstream).  Elements are cast to double BEFORE
+    squaring on both sides so accumulation is double-precision in the
+    same (list) order — rounding to 6 digits is then stable."""
+    e = load(spark, sf_dir, "embeddings")
+    sq_sum = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
+        F.round(F.lit(1.0) / F.sqrt(sq_sum), 6).alias("inv_norm"),
+    )

@@ -74,3 +74,27 @@ def test_events_asof_matches_duckdb_native_asof(spark, sf_dir_oracle):
         spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
     )
     assert ok, detail
+
+
+def test_asof_forward_semantics(spark):
+    """Forward direction: earliest right row with right_ts >= left_ts;
+    ties match; rows past the last right row get NULLs."""
+    left, right = _frames(spark)
+    out = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", direction="forward"
+    )
+    got = {r.lv: r.rv for r in out.collect()}
+    assert got == {
+        "p1": "r2",  # 10:00 → earliest right >= is 12:00 (r1 at 09:30 is past)
+        "p2": "r2",  # tie at 12:00 matches
+        "p3": "r3",  # 09:00 → 11:00
+        "p4": None,  # key absent on right
+    }
+
+
+def test_events_asof_forward_matches_duckdb_native_asof(spark, sf_dir_oracle):
+    spec = REGISTRY["events_asof_next_click"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail

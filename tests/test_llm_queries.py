@@ -6,7 +6,7 @@ from datafusion_parallelism_spark.queries import REGISTRY
 from datafusion_parallelism_spark.testing import compare_to_oracle
 
 NAMES = sorted(
-    n for n in REGISTRY if n.startswith(("text_", "dedup_", "ann_", "corpus_"))
+    n for n in REGISTRY if n.startswith(("text_", "dedup_", "ann_", "corpus_", "vec_"))
 )
 
 

@@ -10,8 +10,9 @@ COVERED_PREFIXES = (
     "join_",      # tests/test_join_queries.py
     "window_", "rollup_", "cube_", "grouping_", "setop_", "events_",
     "agg_", "scalar_", "merge_", "mix_",  # tests/test_analytics_queries.py
-    "text_", "dedup_", "ann_", "corpus_", # tests/test_llm_queries.py
+    "text_", "dedup_", "ann_", "corpus_", "vec_",  # tests/test_llm_queries.py
     "stream_",    # tests/test_streaming_queries.py
+    "source_",    # tests/test_io_roundtrip.py
 )
 #: individually tested elsewhere
 EXPLICIT = {
