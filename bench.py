@@ -69,19 +69,23 @@ def main() -> None:
     # ~0.3-1.0 s extra per query on the first pass at sf0.1).
     for name in names:
         _force(REGISTRY[name].fn(spark, sf_dir))
+    # Take the post-warm-up collection hit outside the measured window.
+    spark._jvm.System.gc()
 
     # Measurement protocol parity with the reference: it warms up 30 s and
     # reports steady-state over many iterations (benches/my_benchmark.rs:30-37,
-    # tpc --iterations 100).  Three iterations per query, report the best —
-    # min is the noise-robust steady-state estimator on a shared machine.
-    times: dict[str, float] = {}
-    for name in names:
-        best = float("inf")
-        for _ in range(3):
+    # tpc --iterations 100).  Three ROUND-ROBIN passes over the query list,
+    # per-query min across passes — min is the noise-robust steady-state
+    # estimator on a shared machine, and round-robin spreads a transient
+    # stall (GC pause, co-tenant load spike) across different queries in
+    # different passes instead of poisoning every iteration of one query.
+    times: dict[str, float] = {name: float("inf") for name in names}
+    for _ in range(3):
+        for name in names:
             t0 = time.perf_counter()
             _force(REGISTRY[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        times[name] = round(best, 3)
+            times[name] = min(times[name], time.perf_counter() - t0)
+    times = {name: round(t, 3) for name, t in times.items()}
 
     total = round(sum(times.values()), 3)
     print(
