@@ -1688,3 +1688,51 @@ def vec_l2_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sqrt(sq_sum), 6).alias("l2_norm"),
         F.round(F.lit(1.0) / F.sqrt(sq_sum), 6).alias("inv_norm"),
     )
+
+
+@query(
+    "corpus_sliding_windows",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks,
+             unnest(range(0, greatest(len(toks), 1), 48)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 48 AS BIGINT) AS chunk_idx,
+           CAST(len(list_slice(toks, start + 1, start + 64)) AS INTEGER) AS n_tok,
+           toks[start + 1] AS head
+    FROM s
+    """,
+)
+def corpus_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context windows for training-chunk extraction: 64-token
+    windows at a 48-token stride over each document (16-token overlap
+    preserves cross-boundary context).  Entirely Catalyst array functions
+    — split once, explode a stride sequence, slice per window — so the
+    fan-out is a generator inside whole-stage codegen: no Python, no
+    shuffle, output scales linearly with corpus tokens.  The complement
+    of corpus_pack_chunks (which packs docs INTO fixed budgets; this
+    windows WITHIN docs)."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.split(F.col("text"), " ").alias("toks"))
+    s = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("toks"), F.lit(1)) - F.lit(1),
+                F.lit(48),
+            )
+        ).alias("start"),
+    )
+    return s.select(
+        "doc_id",
+        (F.col("start") / 48).cast("long").alias("chunk_idx"),
+        F.size(F.slice(F.col("toks"), F.col("start") + 1, F.lit(64))).alias("n_tok"),
+        F.element_at(F.col("toks"), F.col("start") + 1).alias("head"),
+    )

@@ -221,3 +221,33 @@ def test_decontaminate_broadcasts_benchmark_set(spark, sf_dir):
     membership test."""
     plan = physical_plan_str(REGISTRY["corpus_decontaminate"].fn(spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir):
+    """Runtime row-level filtering: when a selective dimension side feeds a
+    shuffle join, the optimizer can inject a bloom filter built from the
+    dimension keys into the fact scan — at 100 TB this prunes the shuffled
+    fact rows BEFORE the exchange (the runtime complement of static
+    predicate pushdown).  Thresholds are forced down here because the
+    injection is size-gated for real workloads."""
+    li = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") % 100 == 0)
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = li.join(p, li.l_partkey == p.p_partkey).groupBy("l_returnflag").count()
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter" in plan or "BloomFilter" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
