@@ -1212,3 +1212,68 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(s, 2).alias("sum_7"),
         F.count(F.lit(1)).over(w).alias("n_7"),
     )
+
+
+@query(
+    "events_variant_extract",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS k_sum,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS k_max
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path: parse props ONCE into Spark's VARIANT
+    type (columnar binary JSON — parse cost paid once, every downstream
+    extraction is a typed offset lookup, unlike get_json_object which
+    re-parses per call) and aggregate a typed field.  The complement of
+    events_json_extract (string-path extraction)."""
+    e = load(spark, sf_dir, "events")
+    v = e.select(
+        "event_type",
+        F.try_variant_get(F.parse_json("props"), "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.sum("k").cast("long").alias("k_sum"),
+        F.max("k").cast("int").alias("k_max"),
+    )
+
+
+@query(
+    "scalar_try_arithmetic",
+    oracle="""
+    SELECT l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(FLOOR(CAST(round(l_quantity * 100) AS BIGINT)
+                          / CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT)
+             AS qty_per_disc,
+           CAST(COUNT(*) FILTER (WHERE l_discount = 0) AS BIGINT) AS n_div_zero,
+           CAST(COUNT(TRY_CAST(l_returnflag AS DOUBLE)) AS BIGINT) AS n_numeric_flags
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe error-free scalar functions: try_divide yields NULL on
+    divide-by-zero (matching SQL division semantics — a malformed row
+    cannot fail a 1000-executor job hours in) and try_cast yields NULL on
+    unparseable input.  The quotient is floored so both engines aggregate
+    exact integers (floor of the identical double quotient), and the
+    NULL-producing rows are counted so the oracle proves the try_ path
+    actually fired."""
+    li = load(spark, sf_dir, "lineitem")
+    qty_cents = F.round(F.col("l_quantity") * 100).cast("long")
+    disc_cents = F.round(F.col("l_discount") * 100).cast("long")
+    return li.groupBy("l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.try_divide(qty_cents, disc_cents)))
+        .cast("long")
+        .alias("qty_per_disc"),
+        F.count(F.when(F.col("l_discount") == 0, 1)).cast("long").alias("n_div_zero"),
+        F.count(F.col("l_returnflag").try_cast("double"))
+        .cast("long")
+        .alias("n_numeric_flags"),
+    )
