@@ -124,6 +124,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        # Static size estimates for file relations are COMPRESSED bytes
+        # (fileCompressionFactor default 1.0); snappy parquet of numeric
+        # columns decompresses 4-8x, so a "10 MB" estimate can be a 60 MB,
+        # multi-million-row in-memory HashedRelation built single-threaded
+        # on the driver — and an OOM at 100x.  Factor 6 makes the static
+        # broadcast decision see ~in-memory size (dims still broadcast:
+        # they are KBs; borderline fact-side broadcasts correctly shuffle).
+        .config("spark.sql.sources.fileCompressionFactor", "6")
+        # ...while AQE may still convert a shuffle join to broadcast at
+        # RUNTIME, where the size is the actual shuffle bytes, not an
+        # estimate — a 64 MB known-size broadcast is safe and beats a
+        # second shuffle.  (Static stays at 10 MB estimated; runtime gets
+        # the bigger allowance precisely because it cannot be wrong.)
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
         # ns-timestamp parquet columns read as long nanos; sources/parquet.py
         # casts them back to TimestampType at the scan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -24,6 +24,7 @@ def test_aqe_splits_skewed_join(spark):
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
             "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
             "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.coalescePartitions.enabled",
             "spark.sql.shuffle.partitions",
         )
@@ -36,6 +37,9 @@ def test_aqe_splits_skewed_join(spark):
         conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
         conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
         conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force shuffle join
+        # ... and keep AQE from converting it to broadcast at runtime (the
+        # session default allows that — it would legitimately erase the skew).
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
         conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
         conf.set("spark.sql.shuffle.partitions", "8")
 
