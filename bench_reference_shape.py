@@ -80,9 +80,13 @@ def main() -> None:
     times = {}
     times["linear_dist_broadcast"] = linear_dist(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # The session default lets AQE convert back to broadcast from RUNTIME
+    # sizes — pin it too, or the 'partitioned' row measures broadcast.
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
     spark.conf.set("spark.sql.join.preferSortMergeJoin", "false")
     times["linear_dist_partitioned"] = linear_dist(spark)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
     times["exponential_dist_skew"] = exponential_dist(spark)
     print(
         json.dumps(
