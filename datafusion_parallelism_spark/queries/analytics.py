@@ -1277,3 +1277,62 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_numeric_flags"),
     )
+
+
+@query(
+    "agg_bitwise_bool",
+    oracle="""
+    SELECT event_type,
+           CAST(BIT_AND(event_id) AS BIGINT) AS ids_and,
+           CAST(BIT_OR(event_id) AS BIGINT) AS ids_or,
+           CAST(BIT_XOR(event_id) AS BIGINT) AS ids_xor,
+           BOOL_AND(value >= 0) AS all_nonneg,
+           BOOL_OR(value > 99) AS any_big,
+           CAST(COUNT_IF(value > 50) AS BIGINT) AS n_over_50
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_bitwise_bool(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregate functions (BIT_AND/OR/XOR,
+    BOOL_AND/OR, COUNT_IF) — exact integer/boolean semantics, so the
+    oracle match is bit-for-bit regardless of partitioning or order
+    (all six are commutative-associative and partial-aggregate cleanly
+    map-side)."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.bit_and("event_id").alias("ids_and"),
+        F.bit_or("event_id").alias("ids_or"),
+        F.bit_xor("event_id").alias("ids_xor"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 99).alias("any_big"),
+        F.count_if(F.col("value") > 50).alias("n_over_50"),
+    )
+
+
+@query(
+    "agg_dispersion_stats",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS qty_stddev,
+           ROUND(VAR_SAMP(l_quantity), 6) AS qty_var,
+           ROUND(STDDEV_POP(l_quantity), 6) AS qty_stddev_pop,
+           ROUND(COVAR_SAMP(l_quantity, l_discount), 8) AS qty_disc_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dispersion aggregates: sample/population stddev, sample variance,
+    and sample covariance — textbook definitions shared by both engines.
+    l_quantity is integral-valued (exact in double) and the moments are
+    ratio-normalized, so partition summation order perturbs results only
+    at ~1e-12; rounding absorbs it.  Single partial+final hash aggregate
+    over a handful of groups."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 6).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 6).alias("qty_var"),
+        F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev_pop"),
+        F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias("qty_disc_covar"),
+    )
