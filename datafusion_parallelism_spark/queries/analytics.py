@@ -1336,3 +1336,99 @@ def agg_dispersion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_pop("l_quantity"), 6).alias("qty_stddev_pop"),
         F.round(F.covar_samp("l_quantity", "l_discount"), 8).alias("qty_disc_covar"),
     )
+
+
+@query(
+    "events_interpolate_hourly",
+    oracle="""
+    WITH e AS (SELECT event_type, date_trunc('hour', ts) AS hr, value FROM events),
+    b AS (SELECT MIN(hr) AS lo, MAX(hr) AS hi FROM e),
+    hrs AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM b),
+    known AS (SELECT event_type, hr, ROUND(AVG(value), 6) AS v
+              FROM e GROUP BY 1, 2),
+    grid AS (SELECT t.event_type, h.hr
+             FROM hrs h CROSS JOIN (SELECT DISTINCT event_type FROM e) t),
+    g AS (SELECT grid.event_type, grid.hr, known.v,
+                 CAST(floor(epoch(grid.hr) / 3600) AS BIGINT) AS h
+          FROM grid LEFT JOIN known
+            ON known.event_type = grid.event_type AND known.hr = grid.hr),
+    w AS (
+      SELECT *,
+        LAST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS pv,
+        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h ROWS UNBOUNDED PRECEDING) AS ph,
+        FIRST_VALUE(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:00') AS hour,
+           (v IS NOT NULL) AS observed,
+           ROUND(CASE WHEN v IS NOT NULL THEN v
+                      WHEN pv IS NULL THEN nv
+                      WHEN nv IS NULL THEN pv
+                      ELSE pv + (nv - pv) * (h - ph) * 1.0 / (nh - ph)
+                 END, 6) AS v_interp
+    FROM w
+    """,
+)
+def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over a dense hourly grid per event type — the
+    value-filling complement of events_gap_fill's zero-fill: missing hours
+    get the line between the nearest observed hours (boundary hours extend
+    the nearest observation).  Same distributed spine (sequence+explode of
+    a 1-row bounds aggregate), then two IGNORE-NULLS window passes carry
+    the previous/next observation and its hour; the fill is closed-form
+    from those four columns — no loops, no self-joins, one shuffle on
+    event_type.  Both engines interpolate from identically-rounded hourly
+    averages, so the arithmetic is bit-identical."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("hour", "ts").alias("hr"), "value"
+    )
+    known = e.groupBy("event_type", "hr").agg(F.round(F.avg("value"), 6).alias("v"))
+    bounds = e.agg(F.min("hr").alias("lo"), F.max("hr").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hr")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    g = grid.join(known, ["event_type", "hr"], "left").withColumn(
+        "h", F.floor(F.col("hr").cast("timestamp").cast("long") / 3600).cast("long")
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    h_obs = F.when(F.col("v").isNotNull(), F.col("h"))
+    w = (
+        g.withColumn("pv", F.last("v", ignorenulls=True).over(wp))
+        .withColumn("ph", F.last(h_obs, ignorenulls=True).over(wp))
+        .withColumn("nv", F.first("v", ignorenulls=True).over(wn))
+        .withColumn("nh", F.first(h_obs, ignorenulls=True).over(wn))
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("pv").isNull(), F.col("nv"))
+        .when(F.col("nv").isNull(), F.col("pv"))
+        .otherwise(
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * (F.col("h") - F.col("ph"))
+            / (F.col("nh") - F.col("ph"))
+        )
+    )
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:00").alias("hour"),
+        F.col("v").isNotNull().alias("observed"),
+        F.round(interp, 6).alias("v_interp"),
+    )
