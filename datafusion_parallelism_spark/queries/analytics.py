@@ -1432,3 +1432,80 @@ def events_interpolate_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNotNull().alias("observed"),
         F.round(interp, 6).alias("v_interp"),
     )
+
+
+@query(
+    "setop_intersect_all",
+    oracle="""
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS ck FROM orders WHERE o_totalprice > 100000
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag semantics: each customer key appears
+    min(count_left, count_right) times (the distinct variant collapses
+    multiplicity; ALL preserves it, planned as a counted hash join)."""
+    o = load(spark, sf_dir, "orders")
+    left = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    right = o.filter(F.col("o_totalprice") > 100000).select(F.col("o_custkey").alias("ck"))
+    return left.intersectAll(right)
+
+
+@query(
+    "setop_except_all",
+    oracle="""
+    SELECT o_custkey AS ck FROM orders
+    EXCEPT ALL
+    SELECT o_custkey AS ck FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each key keeps count_left − count_right
+    occurrences (> 0), i.e. per-customer non-'F' order multiplicity here."""
+    o = load(spark, sf_dir, "orders")
+    left = o.select(F.col("o_custkey").alias("ck"))
+    right = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("ck"))
+    return left.exceptAll(right)
+
+
+_GROUP_BY_ALL_SQL = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+WHERE l_quantity > 10
+GROUP BY ALL
+"""
+
+
+@query("agg_group_by_all", oracle=_GROUP_BY_ALL_SQL)
+def agg_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL — the analyzer derives the grouping keys from the
+    non-aggregate select items; one SQL text runs verbatim on both
+    engines (syntax-level parity, not just semantic parity)."""
+    return _sql(spark, sf_dir, _GROUP_BY_ALL_SQL)
+
+
+@query(
+    "text_token_positions",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS pos,
+           toks[i + 1] AS tok
+    FROM t, unnest(range(least(len(toks), 5))) AS u(i)
+    """,
+)
+def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (posexplode): the first five tokens of each
+    document with their 0-based positions — the order-preserving fan-out
+    primitive (n-gram alignment, position-windowed features).  Generator
+    inside codegen, no shuffle."""
+    d = load(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", F.slice(F.split(F.col("text"), " "), 1, 5).alias("head_toks")
+    )
+    return t.select(
+        "doc_id", F.posexplode("head_toks").alias("pos", "tok")
+    )
