@@ -1509,3 +1509,27 @@ def text_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "doc_id", F.posexplode("head_toks").alias("pos", "tok")
     )
+
+
+@query(
+    "events_props_regex",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS BIGINT)
+             AS k_sum,
+           CAST(COUNT_IF(regexp_matches(props, '[0-9]{2,}')) AS BIGINT) AS n_multi_digit
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction as the schema-on-read fallback when a payload is
+    not valid JSON: capture-group extraction + pattern predicate, JVM-side
+    regexp (patterns restricted to the character-class subset where Java
+    and RE2 semantics coincide)."""
+    e = load(spark, sf_dir, "events")
+    k = F.regexp_extract("props", '"k": ([0-9]+)', 1).cast("long")
+    return e.groupBy("event_type").agg(
+        F.sum(k).cast("long").alias("k_sum"),
+        F.count_if(F.col("props").rlike("[0-9]{2,}")).cast("long").alias("n_multi_digit"),
+    )

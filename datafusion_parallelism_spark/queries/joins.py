@@ -380,3 +380,32 @@ def join_salted_hotkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
     )
+
+
+_EXISTENCE_MARK_SQL = """
+SELECT c_custkey, c_nationkey
+FROM customer
+WHERE c_acctbal < 0
+   OR EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_totalprice > 200000)
+"""
+
+
+def _sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+    from ..session import register_tables
+
+    register_tables(spark, sf_dir)
+    return spark.sql(text)
+
+
+@query("join_existence_mark", oracle=_EXISTENCE_MARK_SQL)
+def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS inside a disjunction — not rewritable to a plain semi join
+    (the other disjunct must still pass rows), so Catalyst plans an
+    ExistenceJoin: a semi-join variant that ATTACHES a boolean mark
+    instead of filtering, evaluated in the residual predicate.  This is
+    the capability the reference's operator explicitly does NOT support
+    (LeftMark rejected at probe_lookup_implementation.rs:32-75; its tests
+    only use top-level [NOT] EXISTS).  Plan shape pinned in
+    tests/test_plan_shapes.py."""
+    return _sql(spark, sf_dir, _EXISTENCE_MARK_SQL)

@@ -251,3 +251,12 @@ def test_runtime_bloom_filter_injected_for_selective_shuffle_join(spark, sf_dir)
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exists_in_disjunction_plans_existence_join(spark, sf_dir):
+    """EXISTS under OR cannot filter via semi join — Catalyst must attach
+    a boolean mark (ExistenceJoin), the capability the reference's
+    operator rejects (probe_lookup_implementation.rs:32-75)."""
+    df = REGISTRY["join_existence_mark"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ExistenceJoin" in plan, plan[:1500]
