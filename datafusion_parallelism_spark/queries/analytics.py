@@ -1533,3 +1533,67 @@ def events_props_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(k).cast("long").alias("k_sum"),
         F.count_if(F.col("props").rlike("[0-9]{2,}")).cast("long").alias("n_multi_digit"),
     )
+
+
+@query(
+    "scalar_date_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INTEGER) AS dow_sun1,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INTEGER)
+             AS days_since_95,
+           strftime(date_trunc('week', o_orderdate), '%Y-%m-%d') AS week_start
+    FROM orders
+    WHERE o_orderkey % 5 = 0
+    """,
+)
+def scalar_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function breadth beyond scalar_functions: quarter, day-of-week
+    (normalized to Sunday=1 — the engines' native numberings differ),
+    month-end, day distance from an epoch date, ISO week start.  All pure
+    codegen scalars; date outputs emitted as formatted strings so DATE vs
+    TIMESTAMP representation differences cannot flip the hash."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 5 == 0)
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").alias("qtr"),
+        F.dayofweek("o_orderdate").alias("dow_sun1"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+        F.date_format(F.date_trunc("week", "o_orderdate"), "yyyy-MM-dd").alias(
+            "week_start"
+        ),
+    )
+
+
+@query(
+    "agg_arg_extremes",
+    oracle="""
+    SELECT event_type,
+           arg_max(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000000
+                             + event_id) AS top_event,
+           arg_min(event_id, CAST(round(value * 100) AS BIGINT) * 1000000000000
+                             + event_id) AS bottom_event,
+           ROUND(MAX(value), 2) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argument-extreme aggregates (MAX_BY/MIN_BY): the event id carrying
+    each type's highest/lowest value.  The ordering key packs
+    (value-cents, event_id) into one bigint so ties resolve identically
+    on both engines — arg extremes without a deterministic tiebreak are
+    not oracle-comparable."""
+    e = load(spark, sf_dir, "events")
+    key = (F.round(F.col("value") * 100).cast("long") * F.lit(1_000_000_000_000)
+           + F.col("event_id"))
+    return e.groupBy("event_type").agg(
+        F.max_by("event_id", key).alias("top_event"),
+        F.min_by("event_id", key).alias("bottom_event"),
+        F.round(F.max("value"), 2).alias("max_value"),
+    )
