@@ -1597,3 +1597,42 @@ def agg_arg_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min_by("event_id", key).alias("bottom_event"),
         F.round(F.max("value"), 2).alias("max_value"),
     )
+
+
+@query(
+    "setop_union_by_name",
+    oracle="""
+    SELECT user_id, kind, CAST(n AS BIGINT) AS n, ROUND(amount, 2) AS amount
+    FROM (
+      SELECT user_id, 'events' AS kind, COUNT(*) AS n,
+             SUM(value) AS amount
+      FROM events GROUP BY user_id
+      UNION ALL BY NAME
+      SELECT o_custkey AS user_id, COUNT(*) AS n, 'orders' AS kind,
+             SUM(o_totalprice) AS amount
+      FROM orders GROUP BY o_custkey
+    )
+    """,
+)
+def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-resolved union (unionByName / UNION ALL BY NAME): the two
+    inputs list their columns in DIFFERENT orders and the union matches
+    by name, not position — the schema-evolution-safe way to stack
+    heterogeneous activity tables (positional UNION would silently pair
+    kind with n here)."""
+    e = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("amount"))
+        .select("user_id", F.lit("events").alias("kind"), "n", "amount")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").alias("amount"))
+        .select("user_id", "n", F.lit("orders").alias("kind"), "amount")
+    )
+    return e.unionByName(o).select(
+        "user_id", "kind", F.col("n").cast("long").alias("n"),
+        F.round("amount", 2).alias("amount"),
+    )

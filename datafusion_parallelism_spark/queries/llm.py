@@ -1736,3 +1736,38 @@ def corpus_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.slice(F.col("toks"), F.col("start") + 1, F.lit(64))).alias("n_tok"),
         F.element_at(F.col("toks"), F.col("start") + 1).alias("head"),
     )
+
+
+@query(
+    "mix_upsample_repeat",
+    oracle="""
+    WITH w AS (
+      SELECT *, CASE source
+                  WHEN 'src3' THEN 3
+                  WHEN 'src4' THEN 2
+                  ELSE 1
+                END AS factor
+      FROM documents
+    )
+    SELECT doc_id, source, CAST(i AS INTEGER) AS epoch_copy
+    FROM w, unnest(range(factor)) AS u(i)
+    """,
+)
+def mix_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic upsampling by integer repeat factors (the standard
+    low-resource-source boost in a training mix: src3 ×3, src4 ×2, rest
+    ×1), as explode(sequence(0, factor-1)) — a codegen generator, no
+    shuffle, no randomness, output exactly factor× the input per source.
+    Each copy carries its epoch_copy index so downstream shuffling/packing
+    can keep copies apart."""
+    d = load(spark, sf_dir, "documents")
+    factor = (
+        F.when(F.col("source") == "src3", 3)
+        .when(F.col("source") == "src4", 2)
+        .otherwise(1)
+    )
+    return d.select("doc_id", "source", factor.alias("factor")).select(
+        "doc_id",
+        "source",
+        F.explode(F.sequence(F.lit(0), F.col("factor") - 1)).alias("epoch_copy"),
+    )
