@@ -409,3 +409,37 @@ def join_existence_mark(spark: SparkSession, sf_dir: str) -> DataFrame:
     only use top-level [NOT] EXISTS).  Plan shape pinned in
     tests/test_plan_shapes.py."""
     return _sql(spark, sf_dir, _EXISTENCE_MARK_SQL)
+
+
+@query(
+    "join_part_basket",
+    oracle="""
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_orders
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def join_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: part pairs appearing together in >= 2
+    orders.  The pairwise expansion is BLOCKED by the order key (a
+    self-equi-join on l_orderkey with a residual '<' that keeps each pair
+    once) — per-order fan-out is ~(items per order choose 2), bounded by
+    TPC-H's ~7-line orders, so the join scales linearly in orders at any
+    SF; the support filter is a post-aggregation HAVING."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    ).select(
+        F.col("a.l_partkey").alias("part_a"), F.col("b.l_partkey").alias("part_b")
+    )
+    return (
+        pairs.groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )

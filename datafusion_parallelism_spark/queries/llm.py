@@ -1771,3 +1771,27 @@ def mix_upsample_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.explode(F.sequence(F.lit(0), F.col("factor") - 1)).alias("epoch_copy"),
     )
+
+
+@query(
+    "vec_label_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INTEGER) AS pos,
+           ROUND(AVG(CAST(embedding[i + 1] AS DOUBLE)), 6) AS c
+    FROM embeddings, unnest(range(len(embedding))) AS u(i)
+    GROUP BY label, i
+    """,
+)
+def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (the IVF coarse-quantizer training step),
+    as long-skinny (label, dim position, mean component): posexplode the
+    vectors and average per (label, pos).  Scale shape: one shuffle keyed
+    by (label, pos) — labels × dims cells regardless of corpus size, and
+    the map-side partial average means the shuffle carries (sum, count)
+    pairs, not vectors.  Averages are ratio-normalized; 6-digit rounding
+    absorbs partition-order noise."""
+    e = load(spark, sf_dir, "embeddings")
+    x = e.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
+    )
+    return x.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
