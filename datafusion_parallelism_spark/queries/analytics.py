@@ -1636,3 +1636,80 @@ def setop_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "kind", F.col("n").cast("long").alias("n"),
         F.round("amount", 2).alias("amount"),
     )
+
+
+@query(
+    "agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(DISTINCT l_suppkey) AS n_supps,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_quantity), 2) AS qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE distinct aggregates over different columns in one GROUP BY
+    — Catalyst plans this with an Expand (one row replica per distinct
+    set) feeding a two-level aggregate, so each distinct column still
+    deduplicates map-side instead of shuffling raw rows twice.  The
+    non-distinct aggregates ride along in the same pass."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("qty"),
+    )
+
+
+@query(
+    "events_first_touch_attribution",
+    oracle="""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS rn
+      FROM events WHERE event_type = 'click'
+    ),
+    first_click AS (
+      SELECT user_id, event_id AS first_click_id FROM clicks WHERE rn = 1
+    ),
+    purchases AS (
+      SELECT user_id, COUNT(*) AS n_purchases,
+             ROUND(SUM(value), 2) AS attributed_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    )
+    SELECT p.user_id, f.first_click_id, p.n_purchases, p.attributed_value
+    FROM purchases p
+    LEFT JOIN first_click f ON f.user_id = p.user_id
+    """,
+)
+def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution: every purchase a user makes is credited to
+    their first-ever click.  One window pass isolates the first click per
+    user (deterministic tiebreak on event_id), purchases aggregate
+    map-side, and the attribution join is keyed on user_id — the same
+    single-shuffle-per-stage shape at any event volume.  LEFT join keeps
+    purchasers who never clicked (null attribution)."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("first_click_id"))
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.round(F.sum("value"), 2).alias("attributed_value"),
+        )
+    )
+    return purchases.join(first_click, "user_id", "left").select(
+        "user_id", "first_click_id", "n_purchases", "attributed_value"
+    )
