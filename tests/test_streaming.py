@@ -164,3 +164,64 @@ def test_typed_state_operator_matches_batch_or_skips(spark, sf_dir):
     for uid, (n, t, mx) in expected.items():
         assert got[uid][0] == n and got[uid][1] == t
         assert got[uid][2] == _pytest.approx(mx, abs=1e-9)
+
+
+def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
+    """Event-time watermark semantics: run 1 processes fresh rows and
+    persists its watermark (max ts - 2 h) in the checkpoint; run 2 (same
+    checkpoint) delivers a row 10 h older than that watermark — it must be
+    DROPPED, not aggregated (bounded state depends on it)."""
+    import os
+
+    import pandas as pd
+
+    src = os.path.join(str(tmp_path), "wm_in")
+    ckpt = os.path.join(str(tmp_path), "wm_ckpt")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2024-06-01 12:00:00")
+    fresh = pd.DataFrame({"ts": [t0, t0 + pd.Timedelta(minutes=30)], "k": ["a", "a"]})
+    late = pd.DataFrame({"ts": [t0 - pd.Timedelta(hours=10)], "k": ["a"]})
+    # µs precision: ns-timestamp parquet reads as long under the session's
+    # nanosAsLong setting, which would clash with the explicit schema.
+    fresh.to_parquet(os.path.join(src, "f1.parquet"), coerce_timestamps="us")
+
+    out = os.path.join(str(tmp_path), "wm_out")
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("ts timestamp, k string")
+            .parquet(src)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour").alias("w"), "k")
+            .count()
+            .select(F.col("w.start").alias("win"), "k", "count")
+        )
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # watermark (12:30 - 2 h = 10:30) persisted in the checkpoint
+    late.to_parquet(os.path.join(src, "f2.parquet"), coerce_timestamps="us")
+    run_once()  # the 02:00 row is below the restored watermark -> dropped
+
+    # Append mode emits only finalized windows: after run 2 the 12:00
+    # window (finalized once the watermark passed it... it has not) —
+    # so assert via a third empty-ish run after a far-future row closes
+    # all windows.
+    closer = pd.DataFrame({"ts": [t0 + pd.Timedelta(days=2)], "k": ["z"]})
+    closer.to_parquet(os.path.join(src, "f3.parquet"), coerce_timestamps="us")
+    run_once()  # watermark jumps past every window; finalized rows emit
+
+    got = {
+        (r.win, r.k): r["count"]
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got.get((t0.to_pydatetime(), "a")) == 2  # fresh rows aggregated
+    late_win = (t0 - pd.Timedelta(hours=10)).to_pydatetime()
+    assert (late_win, "a") not in got, got  # late row dropped
