@@ -443,3 +443,40 @@ def join_part_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
+
+
+@query(
+    "join_value_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 50000.0),
+             ('mid', 50000.0, 200000.0),
+             ('high', 200000.0, 1000000.0)
+    )
+    SELECT b.band, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders o
+    JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join against a tiny banding dimension: each order
+    matched to its price band by BETWEEN-style predicates only — no equi
+    key, so Spark executes a BroadcastNestedLoopJoin (the dim is rows-few
+    by construction; the fact side streams, never shuffles).  This is the
+    general form when bands are DATA (loaded/updated at runtime); when
+    bands are static they compile to a CASE expression instead
+    (scalar_functions.bucket)."""
+    o = load(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 50000.0), ("mid", 50000.0, 200000.0), ("high", 200000.0, 1000000.0)],
+        schema="band string, lo double, hi double",
+    )
+    j = o.join(
+        F.broadcast(bands),
+        (F.col("o_totalprice") >= F.col("lo")) & (F.col("o_totalprice") < F.col("hi")),
+    )
+    return j.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

@@ -1795,3 +1795,55 @@ def vec_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "v")
     )
     return x.groupBy("label", "pos").agg(F.round(F.avg("v"), 6).alias("c"))
+
+
+@query(
+    "dedup_edit_distance",
+    oracle=f"""
+    WITH {_simhash_sql_bits()},
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM simhashes a JOIN simhashes b
+        ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_dist,
+           ROUND(1.0 - levenshtein(da.text, db.text) * 1.0
+                 / greatest(length(da.text), length(db.text)), 4) AS sim
+    FROM cand c
+    JOIN documents da ON da.doc_id = c.doc_a
+    JOIN documents db ON db.doc_id = c.doc_b
+    WHERE ROUND(1.0 - levenshtein(da.text, db.text) * 1.0
+                / greatest(length(da.text), length(db.text)), 4) >= 0.8
+    """,
+)
+def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance verification of near-dup candidates: SimHash equality
+    blocks the quadratic space down to same-signature pairs, then
+    character-level Levenshtein similarity (1 - dist/maxlen) confirms.
+    The expensive O(len²) distance only ever runs on blocked pairs —
+    never corpus×corpus — and both engines share the textbook Levenshtein
+    definition, so the oracle is exact."""
+    d = _docs_spread(spark, sf_dir)
+    sig = _simhash(d)
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.simhash") == F.col("b.simhash"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    texts = d.select("doc_id", "text")
+    pairs = (
+        cand.join(texts.alias("da"), F.col("da.doc_id") == F.col("doc_a"))
+        .join(texts.alias("db"), F.col("db.doc_id") == F.col("doc_b"))
+    )
+    lev = F.levenshtein(F.col("da.text"), F.col("db.text"))
+    sim = F.round(
+        F.lit(1.0) - lev / F.greatest(F.length("da.text"), F.length("db.text")), 4
+    )
+    return (
+        pairs.select(
+            "doc_a", "doc_b", lev.cast("long").alias("edit_dist"), sim.alias("sim")
+        )
+        .filter(F.col("sim") >= 0.8)
+    )
