@@ -149,3 +149,47 @@ def source_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("value_sum"),
         )
     )
+
+
+@query(
+    "source_bucketed_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_nationkey
+    """,
+)
+def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: both sides written bucketBy(8) on
+    the join key, so the join reads bucket-aligned files and needs NO
+    exchange on either side (asserted in tests/test_data_layout.py and
+    test_io_roundtrip.py) — at 100 TB this is the difference between
+    re-shuffling the fact table on every join and shuffling once at
+    write time.  The aggregate's oracle runs on the original parquet, so
+    the bucketed write→read cycle is also proven lossless."""
+    import shutil
+
+    orders = load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
+        "file:", ""
+    )
+    for t in ("rt_b_orders", "rt_b_customer"):
+        # A fresh session doesn't know last run's managed table, but its
+        # LOCATION persists — saveAsTable refuses to reuse it. Drop both.
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
+    orders.write.bucketBy(8, "o_custkey").mode("overwrite").saveAsTable("rt_b_orders")
+    customer.write.bucketBy(8, "c_custkey").mode("overwrite").saveAsTable(
+        "rt_b_customer"
+    )
+    o = spark.table("rt_b_orders")
+    c = spark.table("rt_b_customer")
+    # merge hint: at toy SF the optimizer would broadcast (also fine, but
+    # then nothing exercises the bucket layout); SMJ over bucket-aligned
+    # files is the co-located path this query exists to prove.
+    j = o.hint("merge").join(c, o.o_custkey == c.c_custkey)
+    return j.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )

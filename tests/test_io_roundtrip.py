@@ -41,3 +41,12 @@ def test_partitioned_read_prunes_partitions(spark, sf_dir_oracle):
     scan = [l for l in plan.split("\n") if "FileScan parquet" in l]
     assert scan and "PartitionFilters: [" in scan[0]
     assert "event_type" in scan[0].split("PartitionFilters:")[1].split("]")[0]
+
+
+def test_bucketed_join_query_has_no_exchange(spark, sf_dir_oracle):
+    """The registered bucketed-join query must plan with zero shuffles."""
+    df = REGISTRY["source_bucketed_join"].fn(spark, sf_dir_oracle)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    join_part = plan.split("HashAggregate")[-1]
+    assert "Exchange hashpartitioning(o_custkey" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "Join" in join_part
