@@ -1847,3 +1847,46 @@ def dedup_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim") >= 0.8)
     )
+
+
+@query(
+    "corpus_unigram_logprob",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    freq AS (
+      SELECT t, COUNT(*) AS n FROM toks GROUP BY t
+    ),
+    tot AS (SELECT SUM(n) AS total FROM freq)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(-ln(f.n * 1.0 / tot.total)), 6) AS avg_neg_logprob
+    FROM toks
+    JOIN freq f USING (t)
+    CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model scoring: each document's mean -ln p(token)
+    under the corpus's own unigram distribution — the classic cheap
+    perplexity proxy for quality filtering (high score = improbable
+    token mix).  Two aggregation passes over the exploded tokens: global
+    frequencies (map-side combined), then a token-keyed join back and a
+    per-doc mean.  At 100 TB both shuffles are keyed by token/doc and the
+    frequency table stays |vocab|-sized; nothing is ever collected.
+    Probabilities divide identical longs and ln() agrees to the last ulp
+    across libm implementations — 6-digit rounding of a per-doc MEAN
+    absorbs that."""
+    d = _docs_spread(spark, sf_dir)
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t"))
+    freq = toks.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    scored = toks.join(freq, "t").crossJoin(F.broadcast(total))
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg(-F.log(F.col("n") / F.col("total"))), 6).alias(
+            "avg_neg_logprob"
+        ),
+    )
