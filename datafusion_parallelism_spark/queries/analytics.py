@@ -1713,3 +1713,62 @@ def events_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFram
     return purchases.join(first_click, "user_id", "left").select(
         "user_id", "first_click_id", "n_purchases", "attributed_value"
     )
+
+
+@query(
+    "events_rfm_segments",
+    oracle="""
+    WITH mx AS (SELECT MAX(ts) AS tmax FROM events),
+    rfm AS (
+      SELECT user_id,
+             CAST(date_diff('day', MAX(ts), (SELECT tmax FROM mx)) AS BIGINT)
+               AS recency_days,
+             COUNT(*) AS frequency,
+             ROUND(SUM(value), 2) AS monetary
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY user_id
+    )
+    SELECT user_id, recency_days, frequency, monetary,
+           NTILE(4) OVER (ORDER BY frequency DESC, user_id) AS f_quartile,
+           NTILE(4) OVER (ORDER BY monetary DESC, user_id) AS m_quartile
+    FROM rfm
+    """,
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per purchaser, days since last purchase (against
+    the corpus max — no wall clock, so the result is reproducible),
+    purchase count, and spend, then frequency/monetary quartiles.  The
+    quartile windows are global (unpartitioned NTILE) — fine here because
+    the input is ALREADY one row per user (bounded by |users|); ranking
+    raw events globally would be the anti-pattern.  Ties broken by
+    user_id so quartile boundaries are deterministic."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase")
+    tmax = p.agg(F.max("ts").alias("tmax"))
+    rfm = (
+        p.groupBy("user_id")
+        .agg(
+            F.max("ts").alias("last_ts"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(tmax))
+        .select(
+            "user_id",
+            F.datediff(F.to_date("tmax"), F.to_date("last_ts"))
+            .cast("long")
+            .alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    wf = Window.orderBy(F.desc("frequency"), F.asc("user_id"))
+    wm = Window.orderBy(F.desc("monetary"), F.asc("user_id"))
+    return rfm.select(
+        "user_id",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4).over(wf).alias("f_quartile"),
+        F.ntile(4).over(wm).alias("m_quartile"),
+    )

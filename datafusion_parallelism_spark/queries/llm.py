@@ -1890,3 +1890,46 @@ def corpus_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_neg_logprob"
         ),
     )
+
+
+@query(
+    "text_zipf_exponent",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_TOKS_SQL}) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY t),
+    ranked AS (
+      SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, t) AS r FROM freq
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           ROUND(REGR_SLOPE(ln(n * 1.0), ln(r * 1.0)), 4) AS zipf_slope,
+           ROUND(REGR_R2(ln(n * 1.0), ln(r * 1.0)), 4) AS fit_r2
+    FROM ranked
+    """,
+)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: regression slope of
+    ln(frequency) on ln(rank) (natural text ≈ -1; synthetic or
+    boilerplate-heavy corpora deviate — a distribution-level quality
+    check no per-document filter catches).  Token counts map-side
+    combine; the ranking runs over the |vocab|-sized frequency table,
+    not the corpus; the regression aggregates to ONE row.  Rank ties
+    broken by token so both engines rank identically."""
+    d = _docs_spread(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    ranked = freq.select(
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("t"))).alias("r"),
+    )
+    ln_n = F.log(F.col("n").cast("double"))
+    ln_r = F.log(F.col("r").cast("double"))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
+        F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
+    )
