@@ -1772,3 +1772,82 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wf).alias("f_quartile"),
         F.ntile(4).over(wm).alias("m_quartile"),
     )
+
+
+@query(
+    "events_attribution_linear",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id AS click_id
+      FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+      SELECT p.purchase_id, p.vc, c.click_id
+      FROM purchases p
+      JOIN clicks c
+        ON c.user_id = p.user_id
+       AND c.ts <= p.ts
+       AND c.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    split AS (
+      SELECT click_id,
+             vc // COUNT(*) OVER w
+             + CASE WHEN ROW_NUMBER() OVER (PARTITION BY purchase_id
+                                            ORDER BY click_id)
+                         <= vc % COUNT(*) OVER w
+                    THEN 1 ELSE 0 END AS credit_cents
+      FROM touches
+      WINDOW w AS (PARTITION BY purchase_id)
+    )
+    SELECT click_id,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           ROUND(SUM(credit_cents) / 100.0, 2) AS credit
+    FROM split
+    GROUP BY click_id
+    """,
+)
+def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value split equally
+    across the user's clicks in the preceding 7 days.  The pairwise
+    expansion is an interval join — equi key (user) + bounded time band,
+    so per-purchase fan-out is capped by click density in one week, never
+    corpus².  The split is MONEY-SAFE integer allocation: cents divided
+    evenly, the remainder distributed to the lowest click ids (invoice
+    splitting) — per-purchase credits sum EXACTLY to the purchase value
+    and every intermediate is an integer, so the oracle match is exact
+    (an equal double split produces .xx5 rounding ties that the two
+    engines resolve differently)."""
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.round(F.col("value") * 100).cast("long").alias("vc"),
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") >= F.col("ts") - F.expr("INTERVAL 7 DAYS")),
+    )
+    w = Window.partitionBy("purchase_id")
+    wr = Window.partitionBy("purchase_id").orderBy("click_id")
+    n = F.count(F.lit(1)).over(w)
+    credit_cents = F.floor(F.col("vc") / n) + F.when(
+        F.row_number().over(wr) <= F.col("vc") % n, 1
+    ).otherwise(0)
+    split = touches.select("click_id", credit_cents.alias("credit_cents"))
+    return split.groupBy("click_id").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.round(F.sum("credit_cents") / 100.0, 2).alias("credit"),
+    )
