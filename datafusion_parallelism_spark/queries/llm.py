@@ -1933,3 +1933,56 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_slope(ln_n, ln_r), 4).alias("zipf_slope"),
         F.round(F.regr_r2(ln_n, ln_r), 4).alias("fit_r2"),
     )
+
+
+@query(
+    "vec_quantize_int8",
+    oracle="""
+    WITH p AS (
+      SELECT vec_id, label,
+             list_min(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS lo,
+             list_max(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS hi,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           ROUND(lo, 6) AS q_min,
+           ROUND((hi - lo) / 255, 9) AS q_scale,
+           CASE WHEN hi = lo THEN 0.0 ELSE
+             ROUND(list_sum(list_transform(v,
+               x -> abs(x - (round((x - lo) * 255 / (hi - lo))
+                             * ((hi - lo) / 255) + lo))))
+               / len(v), 9)
+           END AS mae
+    FROM p
+    """,
+)
+def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar int8 quantization parameters + reconstruction error per
+    embedding — the compression step that makes billion-vector ANN fit in
+    memory (4x smaller than float32).  Per row: (min, scale) over the
+    vector, then mean |x - dequant(quant(x))| — all Catalyst array HOFs
+    over doubles, a pure map with no shuffle and no Python.  Both engines
+    run the identical double expression per element (positive operands,
+    so their rounding modes agree), making even the 9-digit error
+    oracle-exact."""
+    e = load(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    p = e.select("vec_id", "label", F.array_min(v).alias("lo"), F.array_max(v).alias("hi"), v.alias("v"))
+    scale = (F.col("hi") - F.col("lo")) / 255
+    dequant = lambda x: F.round((x - F.col("lo")) * 255 / (F.col("hi") - F.col("lo"))) * scale + F.col("lo")  # noqa: E731
+    abs_err = F.aggregate(
+        F.transform(F.col("v"), lambda x: F.abs(x - dequant(x))),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    mae = F.when(F.col("hi") == F.col("lo"), F.lit(0.0)).otherwise(
+        F.round(abs_err / F.size("v"), 9)
+    )
+    return p.select(
+        "vec_id",
+        "label",
+        F.round("lo", 6).alias("q_min"),
+        F.round(scale, 9).alias("q_scale"),
+        mae.alias("mae"),
+    )
