@@ -1851,3 +1851,29 @@ def events_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_purchases"),
         F.round(F.sum("credit_cents") / 100.0, 2).alias("credit"),
     )
+
+
+@query(
+    "events_dow_hour_heatmap",
+    oracle="""
+    SELECT CAST(EXTRACT(dow FROM ts) + 1 AS INTEGER) AS dow_sun1,
+           CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap cells: event and distinct-user counts per
+    (day-of-week, hour-of-day) — the 7×24-cell aggregate behind usage
+    dashboards.  Output cardinality is constant (≤168 rows) at any event
+    volume; the distinct count shuffles (dow, hod, user) which is still
+    bounded by |users|·168."""
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(
+        F.dayofweek("ts").alias("dow_sun1"), F.hour("ts").alias("hod")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )

@@ -1986,3 +1986,38 @@ def vec_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(scale, 9).alias("q_scale"),
         mae.alias("mae"),
     )
+
+
+@query(
+    "text_hapax_rate",
+    oracle=f"""
+    WITH toks AS (SELECT unnest({_TOKS_SQL}) AS t FROM documents),
+    freq AS (SELECT t, COUNT(*) AS n FROM toks GROUP BY t)
+    SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(COUNT_IF(n = 1) AS BIGINT) AS hapax_count,
+           ROUND(COUNT_IF(n = 1) * 1.0 / COUNT(*), 6) AS hapax_rate,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM freq
+    """,
+)
+def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena rate: the fraction of vocabulary occurring exactly
+    once — with text_zipf_exponent's slope, the standard pair of
+    corpus-level distribution health checks (natural corpora sit near
+    ~0.4-0.6; heavy boilerplate or template text collapses it).  One
+    map-side-combined token count, then a single-row aggregate over the
+    vocab-sized table."""
+    d = _docs_spread(spark, sf_dir)
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return freq.agg(
+        F.count(F.lit(1)).alias("vocab_size"),
+        F.count_if(F.col("n") == 1).alias("hapax_count"),
+        F.round(F.count_if(F.col("n") == 1) / F.count(F.lit(1)), 6).alias(
+            "hapax_rate"
+        ),
+        F.sum("n").cast("long").alias("total_tokens"),
+    )
