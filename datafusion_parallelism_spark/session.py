@@ -138,6 +138,11 @@ def get_spark(
         # second shuffle.  (Static stays at 10 MB estimated; runtime gets
         # the bigger allowance precisely because it cannot be wrong.)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        # ContextCleaner can only release finished broadcasts/shuffle files
+        # after a DRIVER GC collects their references; the 30-minute default
+        # means a long-lived session accumulates them across queries
+        # (measured ~5% drag on a repeated join-heavy workload at 288 MB).
+        .config("spark.cleaner.periodicGC.interval", "45s")
         # ns-timestamp parquet columns read as long nanos; sources/parquet.py
         # casts them back to TimestampType at the scan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
