@@ -2021,3 +2021,32 @@ def text_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n").cast("long").alias("total_tokens"),
     )
+
+
+@query(
+    "text_type_token_ratio",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct({_TOKS_SQL})) AS BIGINT) AS n_types,
+           ROUND(len(list_distinct({_TOKS_SQL})) * 1.0
+                 / len({_TOKS_SQL}), 6) AS ttr
+    FROM documents
+    """,
+)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document type-token ratio (lexical diversity): distinct tokens
+    over total tokens — the per-doc quality feature that catches
+    repetition the corpus-level Zipf/hapax checks can't localize.  Pure
+    per-row array expressions (size of array_distinct), no explode, no
+    shuffle.  The ratio's denominators are small integers, so any exact
+    rounding tie is dyadic and both engines round it away from zero
+    identically."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("ttr"),
+    )
