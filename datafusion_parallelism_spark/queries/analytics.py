@@ -1877,3 +1877,42 @@ def events_dow_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "events_max_inactivity_gap",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+      FROM events
+    )
+    SELECT user_id,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(COUNT_IF(gap_s > 86400) AS BIGINT) AS n_day_gaps
+    FROM g
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def events_max_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inactivity profile: the longest gap between consecutive
+    events, total gap count, and gaps exceeding a day — the churn-risk
+    features behind retention models (the max-gap complement of
+    events_sessionize's gap-threshold session counter).  One LAG window
+    per user then a plain aggregate; all arithmetic on integer epoch
+    seconds."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    g = e.select(
+        "user_id", (sec - F.lag(sec).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    return g.groupBy("user_id").agg(
+        F.max("gap_s").alias("max_gap_s"),
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.count_if(F.col("gap_s") > 86400).alias("n_day_gaps"),
+    )
