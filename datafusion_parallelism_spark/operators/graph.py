@@ -6,12 +6,23 @@ components — an inherently iterative algorithm the reference's SQL surface
 cannot express (and the class of computation its bounded-execution model
 never covers).
 
-Implementation: minimum-label propagation.  Each node starts labeled with
-itself; every iteration takes the min of its own label and its neighbors'
-labels; converged when the global label sum stops changing (it decreases
-monotonically, so equality == fixpoint).  Iterations = graph diameter,
-which for near-dup clusters is tiny (clusters are cliques or near-cliques
-from LSH banding).
+Implementation: minimum-label propagation with POINTER JUMPING.  Each
+node starts labeled with itself; every iteration (a) takes the min of its
+own label and its neighbors' labels (one-hop propagation), then (b) twice
+replaces its label with its label's label (path compression, the pointer-
+doubling trick from PRAM connectivity / Kiveris et al.'s "Connected
+Components in MapReduce and Beyond").  Labels only decrease, so the
+global label sum decreases monotonically and equality == fixpoint.  At a
+fixpoint every edge has equal endpoint labels (both orientations are
+present, so propagation enforces l(u) <= l(v) and l(v) <= l(u)) and the
+component minimum m keeps l(m) = m, hence every label equals its
+component minimum — same contract as plain propagation.
+
+Plain propagation needs diameter iterations — fine for LSH near-dup
+cliques, fatal for adversarial chain-shaped dup graphs (A~B~C~...) whose
+diameter at 100 TB can be thousands.  Jumping compresses label chains
+geometrically: a 1000-node path converges in <= 8 iterations (pinned in
+tests/test_graph_operators.py) instead of 999.
 
 Scale posture: each iteration is one shuffled join edges⋈labels + one
 aggregation — all distributed; the driver only compares two scalar sums
@@ -27,7 +38,10 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = 20, checkpoint: bool = True
+    edges: DataFrame,
+    max_iter: int = 20,
+    checkpoint: bool = True,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Connected components of an undirected graph.
 
@@ -35,6 +49,10 @@ def connected_components(
     orientation).  Returns DataFrame (node, cluster) where cluster is the
     minimum node id in the component.  Nodes appear iff they occur in an
     edge (callers union isolated nodes if needed).
+
+    ``stats``: optional dict; on return ``stats["iterations"]`` holds the
+    number of label-update iterations executed (convergence-detection
+    iteration excluded) — observability for the log-diameter guarantee.
     """
     u, v = edges.columns[:2]
     und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
@@ -54,6 +72,7 @@ def connected_components(
     prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
 
     converged = False
+    iterations = 0
     # max_iter + 1: detecting convergence costs one extra (no-change)
     # iteration, so the usable propagation budget stays a full max_iter.
     for _ in range(max_iter + 1):
@@ -71,6 +90,25 @@ def connected_components(
                 ),
             )
         )
+        # Pointer jumping ×2: cluster <- cluster's cluster.  Every label IS
+        # a node id of the same component (initial l(x)=x; propagation and
+        # jumping both pick labels of component members), so the self-join
+        # always finds the row; coalesce guards the left join anyway.
+        # l(l(u)) <= l(u) because l is monotone (<= identity), so the sum
+        # still decreases monotonically and equality remains a fixpoint
+        # test.  Two jumps per round ~4x chain compression at the cost of
+        # two cheap co-partitioned joins.
+        for _ in range(2):
+            parents = new_labels.select(
+                F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
+            )
+            new_labels = (
+                new_labels.join(parents, new_labels["cluster"] == parents["p_node"], "left")
+                .select(
+                    "node",
+                    F.coalesce(F.col("p_cluster"), F.col("cluster")).alias("cluster"),
+                )
+            )
         if checkpoint:
             new_labels = new_labels.localCheckpoint(eager=True)
         new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
@@ -78,7 +116,10 @@ def connected_components(
         if new_sum == prev_sum:
             converged = True
             break
+        iterations += 1
         prev_sum = new_sum
+    if stats is not None:
+        stats["iterations"] = iterations
     if not converged:
         # Silent wrong labels are worse than failing: min-label propagation
         # moves the minimum one hop per iteration, so a component with

@@ -23,6 +23,8 @@ query set so the big side is never shuffled.
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -43,7 +45,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vectors import as_double, cosine
-from ..session import load, spread_for_compute
+from ..session import load, path_size, spread_for_compute
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -90,8 +92,13 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-bound (interpreted HOFs / pandas UDFs), but the corpus's
     compressed on-disk size gives the scan only a handful of row-group
     splits (3 tasks on 32 cores at 16×sf0.1 — measured 3× wall on
-    text_stats).  No-op whenever the scan already has ≥cores splits."""
-    return spread_for_compute(load(spark, sf_dir, "documents"))
+    text_stats).  No-op whenever the scan already has ≥cores splits.
+    Split count comes from the stat'able file size (est_scan_partitions)
+    — no per-call RDD-conversion py4j cost."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    return spread_for_compute(
+        load(spark, sf_dir, "documents"), input_bytes=path_size(path)
+    )
 
 
 def _lang_case_sql() -> str:

@@ -52,6 +52,20 @@ def dir_size(sf_dir: str) -> int:
     return total
 
 
+def path_size(path: str) -> int:
+    """Bytes of one data file, or of every file directly under a dir."""
+    try:
+        if os.path.isfile(path):
+            return os.path.getsize(path)
+        return sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if os.path.isfile(os.path.join(path, f))
+        )
+    except OSError:
+        return 0
+
+
 #: Below this input size, AQE's stage-by-stage re-planning latency exceeds
 #: any benefit (coalescing/skew-splitting are no-ops on MBs of data) —
 #: measured ~15% of headline wall at sf0.1.  Above it, AQE stays on (the
@@ -177,7 +191,25 @@ def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
     return spark
 
 
-def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
+def est_scan_partitions(total_bytes: int, parallelism: int) -> int:
+    """Estimate how many input splits Spark's file source will produce for
+    ``total_bytes`` of data — the same arithmetic as
+    ``FilePartition.maxSplitBytes`` (maxPartitionBytes 128 MB,
+    openCostInBytes 4 MB, bytesPerCore = total/defaultParallelism):
+    ``splits = ceil(total / min(128 MB, max(4 MB, bytesPerCore)))``.
+
+    Pure driver-side arithmetic — no RDD conversion, no py4j round-trip.
+    """
+    if total_bytes <= 0:
+        return 1
+    bytes_per_core = total_bytes // max(1, parallelism)
+    split = min(128 * 1024 * 1024, max(4 * 1024 * 1024, bytes_per_core))
+    return -(-total_bytes // split)
+
+
+def spread_for_compute(
+    df: DataFrame, target: int | None = None, input_bytes: int | None = None
+) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer partitions
     than the cluster has cores — use before CPU-bound per-row stages
     (interpreted HOFs, pandas UDFs over text).
@@ -186,10 +218,20 @@ def spread_for_compute(df: DataFrame, target: int | None = None) -> DataFrame:
     compressed text corpora are tiny on disk relative to their compute (a
     9 MB parquet file = 3 row groups = 3 tasks on 32 cores).  When the
     scan already yields ≥cores partitions (any real data size), this is a
-    no-op — no shuffle is added at scale."""
+    no-op — no shuffle is added at scale.
+
+    When ``input_bytes`` is known (callers scanning a file they can stat),
+    the split count is *estimated* with ``est_scan_partitions`` — same
+    decision, zero py4j cost.  The ``df.rdd.getNumPartitions()`` fallback
+    builds an RDD-conversion plan driver-side on every call, a fixed py4j
+    cost that dominates toy-scale measurements."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if input_bytes is not None:
+        current = est_scan_partitions(input_bytes, sc.defaultParallelism)
+    else:
+        current = df.rdd.getNumPartitions()
+    if current < target:
         return df.repartition(target)
     return df
 
