@@ -11,12 +11,14 @@ extension scope (SURVEY §7.6).  Design contract for 100 TB:
   ``mapInPandas`` stages: narrow (no shuffle), pipelined after the scan,
   batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   so executor memory stays flat regardless of total data size.
-* The image/audio codecs are NOT in this container.  ``decode_payload``
-  is therefore a clearly-marked deterministic fake (np.frombuffer of the
-  md5-derived payload); ``decode_payload_real`` shows the real-library
-  seam and raises ``NotImplementedError`` unless PIL/soundfile exist.
-  Everything around the decode — schemas, UDF signatures, Arrow batch
-  iteration, partition behavior — is real and tested.
+* Two decode paths exist.  ``decode_payload`` is a clearly-marked
+  deterministic fake (np.frombuffer of the md5-derived payload) used by
+  the legacy mm_* feature queries.  ``decode_payload_real`` is REAL:
+  RIFF/WAVE parses through the stdlib ``wave`` codec and 8-bit BMP
+  through the built-in container parser below (PIL/soundfile remain the
+  optional paths for other formats).  The ``mm_audio_wav_features`` /
+  ``mm_image_bmp_stats`` queries drive real container bytes through it
+  end-to-end and hash-match a first-principles DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -126,27 +128,122 @@ def decode_payload(payload: bytes) -> np.ndarray:
 
 
 def decode_payload_real(payload: bytes, modality: str) -> np.ndarray:
-    """Real decode seam — requires image/audio codecs not present in this
-    container.  Kept so the production swap is one function."""
-    try:
-        if modality == "image":
-            import io
+    """Real decode seam: container-format bytes in, sample/pixel array out.
 
-            from PIL import Image  # type: ignore
-
-            return np.asarray(Image.open(io.BytesIO(payload)))
-        if modality == "audio":
+    Audio: RIFF/WAVE via the stdlib ``wave`` module (a real codec, always
+    present) — ``soundfile`` handles any other container when installed.
+    Image: ``BM`` magic via the built-in BMP parser (:func:`decode_bmp_gray8`)
+    — PIL handles everything else when installed.  Only a payload in a
+    format none of those cover raises ``NotImplementedError``."""
+    if modality == "audio":
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            return decode_wav_int16(payload)
+        try:
             import io
 
             import soundfile  # type: ignore
 
             data, _rate = soundfile.read(io.BytesIO(payload))
             return np.asarray(data)
-    except ImportError as exc:
-        raise NotImplementedError(
-            f"real {modality} decode needs optional codec libraries"
-        ) from exc
+        except ImportError as exc:
+            raise NotImplementedError(
+                "non-WAV audio decode needs the optional soundfile library"
+            ) from exc
+    if modality == "image":
+        try:
+            import io
+
+            from PIL import Image  # type: ignore
+
+            return np.asarray(Image.open(io.BytesIO(payload)))
+        except ImportError:
+            if payload[:2] == b"BM":
+                return decode_bmp_gray8(payload)
+            raise NotImplementedError(
+                "non-BMP image decode needs the optional PIL library"
+            ) from None
     raise NotImplementedError(f"no real decoder for modality {modality!r}")
+
+
+# --------------------------------------------------------------------------
+# Real container codecs (no optional dependencies)
+# --------------------------------------------------------------------------
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """16-bit mono PCM RIFF/WAVE container via the stdlib ``wave`` codec."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav_int16(payload: bytes) -> np.ndarray:
+    """Parse a 16-bit mono RIFF/WAVE container back to its sample array —
+    stdlib ``wave`` does the real container parsing (chunk walk, fmt
+    validation, frame extraction)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2 or w.getnchannels() != 1:
+            raise ValueError("decode_wav_int16 expects 16-bit mono PCM")
+        frames = w.readframes(w.getnframes())
+    return np.frombuffer(frames, dtype="<i2")
+
+
+_BMP_HEADER = 14  # BITMAPFILEHEADER
+_BMP_INFO = 40  # BITMAPINFOHEADER
+_BMP_PALETTE = 256 * 4  # 8-bit grayscale palette (BGRA quads)
+
+
+def encode_bmp_gray8(img: np.ndarray) -> bytes:
+    """Encode a 2-D uint8 array as a real 8-bit-palette BMP file:
+    BITMAPFILEHEADER + BITMAPINFOHEADER + 256-entry grayscale palette +
+    BOTTOM-UP rows each padded to a 4-byte boundary (the real format's
+    quirks, exercised on purpose)."""
+    import struct
+
+    h, w = img.shape
+    stride = (w + 3) & ~3
+    data_off = _BMP_HEADER + _BMP_INFO + _BMP_PALETTE
+    file_size = data_off + stride * h
+    out = bytearray()
+    out += struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    out += struct.pack(
+        "<IiiHHIIiiII", _BMP_INFO, w, h, 1, 8, 0, stride * h, 2835, 2835, 256, 0
+    )
+    for i in range(256):  # grayscale palette: B, G, R, reserved
+        out += bytes((i, i, i, 0))
+    pad = b"\x00" * (stride - w)
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        out += img[y].astype(np.uint8).tobytes() + pad
+    return bytes(out)
+
+
+def decode_bmp_gray8(payload: bytes) -> np.ndarray:
+    """Parse an 8-bit-palette BMP back to a 2-D uint8 array — a real
+    container parse: header validation, data-offset indirection, bottom-up
+    row order, 4-byte row padding."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _fsize, _r1, _r2, data_off) = struct.unpack_from("<2sIHHI", payload, 0)
+    (info_size, w, h, _planes, bpp) = struct.unpack_from("<IiiHH", payload, _BMP_HEADER)
+    if info_size < _BMP_INFO or bpp != 8:
+        raise ValueError(f"decode_bmp_gray8 expects 8-bit BMP (got bpp={bpp})")
+    if h <= 0 or w <= 0:
+        raise ValueError("top-down or empty BMP not supported")
+    stride = (w + 3) & ~3
+    rows = np.frombuffer(
+        payload, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    return rows[::-1, :w].copy()
 
 
 # --------------------------------------------------------------------------
@@ -261,3 +358,135 @@ def audio_features(assets: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
 
     audio = assets.filter(F.col("modality") == "audio")
     return audio.select("doc_id", "payload").mapInPandas(compute, schema=AUDIO_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# Real-codec pipelines: deterministic synthetic signals -> real containers
+# -> real decode -> features.  The signal parameters are pure doc_id
+# arithmetic so a SQL oracle can regenerate the expected output from first
+# principles (UNNEST(range(...))) while the Spark side round-trips actual
+# WAV/BMP bytes through actual parsers -- any encode/decode bug (byte
+# order, row padding, header arithmetic) breaks the hash match.
+# --------------------------------------------------------------------------
+WAV_WINDOW = 256  # samples per analysis window; every period divides it
+
+
+def synth_square_wave(doc_id: int) -> tuple[np.ndarray, int, int]:
+    """Deterministic square wave for one doc: returns (samples, amp, half_p).
+
+    half_period in {4,8,16,32} (so the 2*half_p period divides the 256-
+    sample analysis window), amplitude in {1000..1400}, length a multiple
+    of 256 -- which makes the whole-buffer mean exactly 0 and every
+    window's RMS exactly the amplitude."""
+    half_p = 4 << (doc_id % 4)
+    amp = 1000 + 100 * (doc_id % 5)
+    n = 256 * (4 + doc_id % 9)
+    idx = np.arange(n)
+    samples = np.where((idx // half_p) % 2 == 0, amp, -amp).astype(np.int16)
+    return samples, amp, half_p
+
+
+def synth_gradient_image(doc_id: int) -> np.ndarray:
+    """Deterministic grayscale test card: (x*7 + y*13 + doc_id) % 256,
+    with width 8..15 (exercises BMP row padding: stride != width for
+    non-multiple-of-4 widths) and height 8..11."""
+    w = 8 + doc_id % 8
+    h = 8 + doc_id % 4
+    x = np.arange(w)
+    y = np.arange(h)[:, None]
+    return ((x * 7 + y * 13 + doc_id) % 256).astype(np.uint8)
+
+
+def build_wav_assets(documents: DataFrame) -> DataFrame:
+    """Audio-modality docs -> (doc_id, payload) where payload is a REAL
+    RIFF/WAVE container of the doc's synthetic signal.  Stands in for the
+    ingest step of a production pipeline (reading .wav objects); Arrow-
+    batched, narrow."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_wav(synth_square_wave(int(doc_id))[0]))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return audio.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def wav_window_features(assets: DataFrame, window: int = WAV_WINDOW) -> DataFrame:
+    """Decode REAL WAV containers (stdlib ``wave`` via decode_payload_real)
+    and emit per-window RMS + zero-crossings -- same analysis as
+    audio_features but fed by a real codec."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = decode_payload_real(bytes(payload), "audio").astype(np.float64)
+                centered = buf - buf.mean()
+                for i in range(len(buf) // window):
+                    w = centered[i * window : (i + 1) * window]
+                    rms = float(np.sqrt(np.mean(w * w)))
+                    zc = int(np.sum(np.signbit(w[:-1]) != np.signbit(w[1:])))
+                    rows.append((int(doc_id), i, rms, zc))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "window_idx", "rms", "zero_crossings"]
+            )
+
+    return assets.mapInPandas(compute, schema=AUDIO_SCHEMA)
+
+
+def build_bmp_assets(documents: DataFrame) -> DataFrame:
+    """Image-modality docs -> (doc_id, payload) where payload is a REAL
+    8-bit-palette BMP of the doc's synthetic test card."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_bmp_gray8(synth_gradient_image(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    images = documents.filter(F.col("doc_id") % 3 == 0).select("doc_id")
+    return images.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+BMP_STATS_SCHEMA = (
+    "doc_id long, width int, height int, px_sum long, px_min int, px_max int, "
+    "px_mean double"
+)
+
+
+def bmp_pixel_stats(assets: DataFrame) -> DataFrame:
+    """Decode REAL BMP containers (PIL if present, else the built-in
+    parser) and emit per-image pixel statistics."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                img = decode_payload_real(bytes(payload), "image")
+                h, w = img.shape[:2]
+                px = img.astype(np.int64)
+                rows.append(
+                    (
+                        int(doc_id),
+                        w,
+                        h,
+                        int(px.sum()),
+                        int(px.min()),
+                        int(px.max()),
+                        float(px.sum()) / (w * h),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "px_sum", "px_min", "px_max", "px_mean",
+                ],
+            )
+
+    return assets.mapInPandas(compute, schema=BMP_STATS_SCHEMA)

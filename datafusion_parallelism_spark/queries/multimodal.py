@@ -6,6 +6,12 @@ blob is part of the compared result).  The decode / resize / frame-sample
 stages run numpy inside Arrow-batched ``mapInPandas`` — not expressible in
 SQL, so they register ``oracle=None`` (driver records rows-only checks) and
 their determinism is pinned by tests/test_multimodal.py instead.
+
+``mm_audio_wav_features`` / ``mm_image_bmp_stats`` (bottom of this file)
+close the real-codec gap: REAL WAV/BMP container bytes flow through REAL
+parsers (stdlib ``wave``; built-in BMP parse) and the result hash-matches
+a DuckDB oracle that regenerates the synthetic signal from first
+principles.
 """
 
 from __future__ import annotations
@@ -104,3 +110,73 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = build_assets(load(spark, sf_dir, "documents"))
     return audio_features(assets)
+
+
+# --------------------------------------------------------------------------
+# Real-codec queries: the payloads are REAL WAV / BMP containers and the
+# decode stage runs a REAL parser (stdlib `wave`; built-in BMP container
+# parser with PIL as the optional fast path).  The synthetic signal is pure
+# doc_id arithmetic, so DuckDB regenerates the expected analysis output
+# from first principles (UNNEST(range(...))) -- an encode or decode bug
+# (byte order, row padding, header arithmetic) breaks the hash match.
+# --------------------------------------------------------------------------
+@query(
+    "mm_audio_wav_features",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id,
+             4 * CAST(power(2, doc_id % 4) AS BIGINT) AS half_p,
+             1000 + 100 * (doc_id % 5) AS amp,
+             256 * (4 + doc_id % 9) AS n_samples
+      FROM documents WHERE doc_id % 3 = 1
+    )
+    SELECT doc_id,
+           CAST(w.window_idx AS INT) AS window_idx,
+           CAST(amp AS DOUBLE) AS rms,
+           CAST(256 // half_p - 1 AS INT) AS zero_crossings
+    FROM audio, UNNEST(range(0, n_samples // 256)) AS w(window_idx)
+    """,
+)
+def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio docs -> synthesize square wave -> encode REAL RIFF/WAVE bytes
+    -> decode via the stdlib ``wave`` codec -> per-window RMS + zero
+    crossings.  The signal is built so the analysis has a closed form the
+    oracle computes independently: period divides the 256-sample window,
+    buffer length is a multiple of 256, so every window's RMS is exactly
+    the amplitude and crossings are 256/half_period - 1."""
+    from ..operators.multimodal import build_wav_assets, wav_window_features
+
+    docs = load(spark, sf_dir, "documents")
+    return wav_window_features(build_wav_assets(docs))
+
+
+@query(
+    "mm_image_bmp_stats",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    px AS (
+      SELECT doc_id, w, h, (xx.x * 7 + yy.y * 13 + doc_id) % 256 AS v
+      FROM imgs, UNNEST(range(0, w)) AS xx(x), UNNEST(range(0, h)) AS yy(y)
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS INT) AS px_min,
+           CAST(MAX(v) AS INT) AS px_max,
+           CAST(SUM(v) AS DOUBLE) / (w * h) AS px_mean
+    FROM px GROUP BY doc_id, w, h
+    """,
+)
+def mm_image_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image docs -> synthesize gradient test card -> encode REAL 8-bit
+    BMP bytes (palette, bottom-up rows, 4-byte row padding) -> decode via
+    a real BMP container parse -> per-image pixel stats.  px_mean is the
+    exact IEEE division SUM/count on both sides (no rounding needed)."""
+    from ..operators.multimodal import build_bmp_assets, bmp_pixel_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return bmp_pixel_stats(build_bmp_assets(docs))

@@ -105,3 +105,84 @@ def test_real_decode_seam_raises_without_codecs():
     for modality in ("image", "audio", "video"):
         with pytest.raises(NotImplementedError):
             decode_payload_real(b"\x00" * 16, modality)
+
+
+# --------------------------------------------------------------------------
+# Real container codecs (WAV via stdlib wave; BMP via built-in parser)
+# --------------------------------------------------------------------------
+def test_wav_roundtrip_exact():
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import (
+        decode_payload_real,
+        encode_wav,
+    )
+
+    samples = np.array([0, 1000, -1000, 32767, -32768, 7], dtype=np.int16)
+    payload = encode_wav(samples)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    got = decode_payload_real(payload, "audio")
+    assert got.dtype == np.int16
+    assert np.array_equal(got, samples)
+
+
+def test_bmp_roundtrip_exact_with_padding():
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import (
+        decode_bmp_gray8,
+        encode_bmp_gray8,
+    )
+
+    # width 13: stride pads to 16 — the parser must strip padding and
+    # un-reverse the bottom-up row order.
+    rng = np.arange(13 * 5, dtype=np.uint8).reshape(5, 13)
+    payload = encode_bmp_gray8(rng)
+    assert payload[:2] == b"BM"
+    assert np.array_equal(decode_bmp_gray8(payload), rng)
+
+
+def test_bmp_decode_via_real_seam():
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import (
+        decode_payload_real,
+        encode_bmp_gray8,
+        synth_gradient_image,
+    )
+
+    img = synth_gradient_image(42)
+    got = decode_payload_real(encode_bmp_gray8(img), "image")
+    # PIL (when present) returns the same 2-D array as the built-in parser.
+    assert np.array_equal(np.asarray(got), img)
+
+
+def test_square_wave_closed_form_properties():
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import synth_square_wave
+
+    for doc_id in (1, 4, 7, 10, 25):
+        samples, amp, half_p = synth_square_wave(doc_id)
+        buf = samples.astype(np.float64)
+        assert buf.mean() == 0.0  # length is a whole number of periods
+        w = buf[:256]
+        assert float(np.sqrt(np.mean(w * w))) == float(amp)
+        zc = int(np.sum(np.signbit(w[:-1]) != np.signbit(w[1:])))
+        assert zc == 256 // half_p - 1
+
+
+def test_wav_query_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_audio_wav_features"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
+
+
+def test_bmp_query_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_image_bmp_stats"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
