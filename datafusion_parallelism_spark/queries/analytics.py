@@ -446,30 +446,98 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Sketch aggregates (approximate; no SQL-exact oracle by construction)
 # --------------------------------------------------------------------------
-@query("agg_approx_distinct_users", oracle=None)
+@query(
+    "agg_approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(*) AS n,
+           TRUE AS hll_within_bound
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user counts per event type (rsd 1%).
-    Approximate by design → rows-only driver check; the error bound vs the
-    exact count is pinned in tests/test_sketches.py.  At 100 TB this is
-    THE distinct-count: exact distinct shuffles every value, HLL merges
-    fixed-size sketches map-side."""
+    At 100 TB this is THE distinct-count: exact distinct shuffles every
+    value, HLL merges fixed-size sketches map-side.
+
+    PROPERTY ORACLE: the HLL estimate itself is engine-specific, so the
+    compared output carries (a) the exact distinct count — which DuckDB
+    recomputes — and (b) ``hll_within_bound``: |approx − exact| / exact
+    ≤ 5 × rsd, i.e. five standard errors of the published HLL++ bound.
+    A sketch bug flips the boolean and breaks the hash match; the exact
+    side doubles as the audit column.  (Error magnitude is additionally
+    pinned in tests/test_sketches.py.)"""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
-        F.count(F.lit(1)).alias("n"),
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n",
+            (
+                F.abs(F.col("approx") - F.col("exact_users"))
+                / F.col("exact_users")
+                <= 0.05
+            ).alias("hll_within_bound"),
+        )
     )
 
 
-@query("agg_value_quantiles", oracle=None)
+@query(
+    "agg_value_quantiles",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def agg_value_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greenwald-Khanna approximate quantiles (p50/p90/p99) of event value
     per type (accuracy 1/10000).  Mergeable-sketch path, same scale story
-    as HLL; tolerance vs exact quantiles pinned in tests."""
+    as HLL.
+
+    PROPERTY ORACLE — the true GK rank guarantee: the element returned
+    for quantile q has rank within n·q ± n·ε (ε = 1/accuracy).  The check
+    counts, per group, how many values fall strictly below / at-or-below
+    each returned element and asserts the rank fraction is within
+    ε + 2/n of q (the 2/n term absorbs element-granularity: the sketch
+    returns an actual element, not an interpolated value).  Compared
+    output is the per-type booleans (oracle side: TRUE) plus the row
+    count — a sketch regression flips a boolean and breaks the hash
+    match.  Error magnitude additionally pinned in tests/test_sketches.py."""
     e = load(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("quantiles"),
-        F.count(F.lit(1)).alias("n"),
+    eps = 1.0 / 10000
+    sketch = e.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("q"),
     )
+    joined = e.join(F.broadcast(sketch), "event_type")
+    checked = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum((F.col("value") < F.col("q")[i]).cast("long")).alias(f"lt{i}")
+            for i in range(3)
+        ],
+        *[
+            F.sum((F.col("value") <= F.col("q")[i]).cast("long")).alias(f"le{i}")
+            for i in range(3)
+        ],
+    )
+    tol = F.lit(eps) + 2.0 / F.col("n")
+    ok = [
+        (
+            (F.col(f"lt{i}") / F.col("n") <= q + tol)
+            & (F.col(f"le{i}") / F.col("n") >= q - tol)
+        ).alias(name)
+        for i, (q, name) in enumerate([(0.5, "p50_ok"), (0.9, "p90_ok"), (0.99, "p99_ok")])
+    ]
+    return checked.select("event_type", "n", *ok)
 
 
 # --------------------------------------------------------------------------

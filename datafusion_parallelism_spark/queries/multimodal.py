@@ -86,10 +86,48 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_features(assets)
 
 
-@query("mm_resize_images", oracle=None)
+@query(
+    "mm_resize_images",
+    oracle="""
+    WITH imgs AS (
+      SELECT doc_id, 32 + doc_id % 32 AS w, 32 + doc_id % 16 AS h, text
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    hexed AS (
+      SELECT doc_id, w, h,
+             substr(repeat(md5(text), CAST(ceil(w*h*2/32.0) AS INT)), 1, w*h*2) AS hx
+      FROM imgs
+    ),
+    px AS (
+      SELECT doc_id, w, h, hx,
+             ((yy.j * h) // 16) * w + ((xx.i * w) // 16) AS p
+      FROM hexed, UNNEST(range(0, 16)) AS xx(i), UNNEST(range(0, 16)) AS yy(j)
+    ),
+    vals AS (
+      SELECT doc_id, w, h,
+             (strpos('0123456789abcdef', substr(hx, CAST(2*p+1 AS INT), 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, CAST(2*p+2 AS INT), 1)) - 1) AS v
+      FROM px
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST(16 AS INT) AS out_width,
+           CAST(16 AS INT) AS out_height,
+           CAST(SUM(v) AS BIGINT) AS checksum
+    FROM vals GROUP BY doc_id, w, h
+    """,
+)
 def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nearest-neighbor 16x16 resize of image assets (numpy indexing in
-    mapInPandas); emits new dims + pixel checksum."""
+    mapInPandas); emits new dims + pixel checksum.
+
+    FULL ORACLE: the fake-decode buffer is md5-hex-derived, so DuckDB
+    reconstructs every sampled pixel byte from the SAME md5 hex string
+    (strpos-based hex-pair decode) at the SAME nearest-neighbor indices
+    ((j*h)//16 * w + (i*w)//16) and must reproduce the integer checksum
+    exactly — pinning the decode byte order, the reshape(h, w) row-major
+    layout, and the resize index arithmetic."""
     assets = build_assets(load(spark, sf_dir, "documents"))
     return resize_images(assets)
 

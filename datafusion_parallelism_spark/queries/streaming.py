@@ -81,10 +81,40 @@ def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_session_windows", oracle=None)
+@query(
+    "stream_session_windows",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS value_sum
+    FROM sess GROUP BY user_id, sid
+    """,
+)
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user 30-minute-gap session windows under a watermark (built-in
-    session_window); batch-equivalence pinned in tests."""
+    session_window), run to completion.
+
+    FULL ORACLE via the gaps-and-islands formulation: a session breaks
+    where the gap to the previous event is >= 30 min (Spark's session
+    window is the half-open [start, last_ts + gap) — an event exactly at
+    the close boundary starts a NEW session), session_end = last event +
+    gap.  Batch-equivalence is additionally pinned in tests."""
     run_to_memory(
         session_windows_stream(read_events_stream(spark, sf_dir)),
         "q_stream_sessions",

@@ -186,3 +186,11 @@ def test_bmp_query_matches_oracle(spark, sf_dir_oracle):
         spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
     )
     assert ok, detail
+
+
+def test_resize_query_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_resize_images"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail

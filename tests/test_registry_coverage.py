@@ -17,6 +17,9 @@ COVERED_PREFIXES = (
 #: individually tested elsewhere
 EXPLICIT = {
     "mm_assets_summary",        # tests/test_multimodal.py
+    "mm_audio_wav_features",    # tests/test_multimodal.py (real WAV codec)
+    "mm_image_bmp_stats",       # tests/test_multimodal.py (real BMP codec)
+    "mm_resize_images",         # tests/test_multimodal.py (checksum oracle)
     "events_asof_last_click",   # tests/test_asof_join.py (also events_ sweep)
     "events_interval_first6h",  # tests/test_interval_join.py (also events_ sweep)
 }
