@@ -82,6 +82,17 @@ def main() -> None:
         sf_val = sf
     spark = benchmark_session(sf_dir, app_name="bench")
 
+    # SPARK_GRAFT_FROM_MEMORY=1: the reference's memory-resident benchmark
+    # configuration (tpc/src/main.rs:386-412 StaticTable mode) — cache every
+    # table in executor memory first; Spark's cache manager substitutes the
+    # InMemoryRelation into every subsequent plan, removing the scan share
+    # from the measured walls.
+    from_memory = os.environ.get("SPARK_GRAFT_FROM_MEMORY", "") == "1"
+    if from_memory:
+        from datafusion_parallelism_spark.sources.memory import materialize_tables
+
+        materialize_tables(spark, sf_dir)
+
     names = [n for n in HEADLINE if n in REGISTRY]
 
     # Build every plan once (timed — reported as plan_sec, not headline).
@@ -123,6 +134,7 @@ def main() -> None:
                 "queries_min": mins,
                 "plan_sec": round(plan_s, 3),
                 "passes": PASSES,
+                "from_memory": from_memory,
                 "sf": sf_val,
             }
         )

@@ -11,8 +11,8 @@ lossless.
 Scale posture: writes are distributed (one file per partition — the only
 shape at 100 TB); reads use an EXPLICIT schema, never inference (schema
 inference is a full extra pass over the data).  Staging lives under /tmp,
-keyed by (format, data dir) so concurrent runs at different SFs don't
-collide.
+keyed by (format, data dir, PID) so concurrent runs — different SFs or the
+driver gate racing a local pytest over the SAME dir — never collide.
 """
 
 from __future__ import annotations
@@ -29,8 +29,16 @@ from .registry import query
 
 
 def _stage(kind: str, sf_dir: str) -> str:
+    # PID discriminator: two concurrent runs over the same data dir (driver
+    # gate + local pytest) must not overwrite each other's staging files.
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-    return os.path.join("/tmp/spark_graft_io", f"{kind}-{tag}")
+    return os.path.join("/tmp/spark_graft_io", f"{kind}-{tag}-p{os.getpid()}")
+
+
+#: CSV cannot natively distinguish NULL from '' — pin explicit sentinels on
+#: BOTH sides of the round-trip so empty strings read back as '' (not NULL)
+#: and the oracle hash stays honest if source/lang ever contain ''.
+_CSV_NULL = r"\N"
 
 
 @query(
@@ -49,10 +57,11 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     row lost or value mangled in flight flips the hash."""
     d = load(spark, sf_dir, "documents").select("doc_id", "source", "lang", "n_chars")
     path = _stage("csv", sf_dir)
-    write_csv(d, path)
+    write_csv(d, path, options={"nullValue": _CSV_NULL})
     back = (
         spark.read.schema("doc_id BIGINT, source STRING, lang STRING, n_chars BIGINT")
         .option("header", "true")
+        .option("nullValue", _CSV_NULL)
         .csv(path)
     )
     return back.groupBy("source", "lang").agg(
@@ -174,17 +183,19 @@ def source_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse").replace(
         "file:", ""
     )
-    for t in ("rt_b_orders", "rt_b_customer"):
+    # PID-suffixed table names: concurrent processes sharing the warehouse
+    # dir must not rmtree/overwrite each other's bucketed tables mid-read.
+    t_orders = f"rt_b_orders_p{os.getpid()}"
+    t_customer = f"rt_b_customer_p{os.getpid()}"
+    for t in (t_orders, t_customer):
         # A fresh session doesn't know last run's managed table, but its
         # LOCATION persists — saveAsTable refuses to reuse it. Drop both.
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(warehouse, t), ignore_errors=True)
-    orders.write.bucketBy(8, "o_custkey").mode("overwrite").saveAsTable("rt_b_orders")
-    customer.write.bucketBy(8, "c_custkey").mode("overwrite").saveAsTable(
-        "rt_b_customer"
-    )
-    o = spark.table("rt_b_orders")
-    c = spark.table("rt_b_customer")
+    orders.write.bucketBy(8, "o_custkey").mode("overwrite").saveAsTable(t_orders)
+    customer.write.bucketBy(8, "c_custkey").mode("overwrite").saveAsTable(t_customer)
+    o = spark.table(t_orders)
+    c = spark.table(t_customer)
     # merge hint: at toy SF the optimizer would broadcast (also fine, but
     # then nothing exercises the bucket layout); SMJ over bucket-aligned
     # files is the co-located path this query exists to prove.

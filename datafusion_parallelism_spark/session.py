@@ -249,6 +249,19 @@ def force_execute(df: DataFrame) -> None:
 _REGISTERED: dict[tuple[int, str], tuple[str, DataFrame]] = {}
 
 
+def _evict_stopped_sessions() -> None:
+    """Drop memo entries whose session has been stopped — otherwise they pin
+    DataFrames (and whole SparkSessions) for the process lifetime, and the
+    dict grows unboundedly across sessions in long test runs."""
+    for key, (_, df) in list(_REGISTERED.items()):
+        try:
+            alive = df.sparkSession._sc._jsc is not None
+        except Exception:
+            alive = False
+        if not alive:
+            _REGISTERED.pop(key, None)
+
+
 def register_tables(
     spark: SparkSession, sf_dir: str = DEFAULT_SF_DIR, tables: tuple[str, ...] = TABLE_NAMES
 ) -> dict[str, DataFrame]:
@@ -262,6 +275,7 @@ def register_tables(
     """
     from .sources.parquet import read_parquet
 
+    _evict_stopped_sessions()
     out: dict[str, DataFrame] = {}
     key_base = id(spark)
     for name in tables:
@@ -269,7 +283,14 @@ def register_tables(
         if not os.path.exists(path):
             continue
         cached = _REGISTERED.get((key_base, name))
-        if cached is not None and cached[0] == sf_dir and cached[1].sparkSession is spark:
+        if (
+            cached is not None
+            and cached[0] == sf_dir
+            and cached[1].sparkSession is spark
+            # The view may have been dropped/replaced outside this registrar;
+            # one catalog probe is still far cheaper than scan build + DDL.
+            and spark.catalog.tableExists(name)
+        ):
             out[name] = cached[1]
             continue
         df = read_parquet(spark, path)

@@ -19,9 +19,21 @@ def _prep(df: DataFrame, single_file: bool) -> DataFrame:
     return df.coalesce(1) if single_file else df
 
 
-def write_csv(df: DataFrame, path: str, single_file: bool = False) -> None:
-    """CSV sink with header, overwrite semantics (tpc/src/main.rs:372-377)."""
-    _prep(df, single_file).write.mode("overwrite").option("header", "true").csv(path)
+def write_csv(
+    df: DataFrame,
+    path: str,
+    single_file: bool = False,
+    options: dict[str, str] | None = None,
+) -> None:
+    """CSV sink with header, overwrite semantics (tpc/src/main.rs:372-377).
+
+    ``options`` passes through writer options (e.g. an explicit
+    ``nullValue`` sentinel so NULL and '' stay distinguishable on re-read —
+    CSV's default maps both to the empty field)."""
+    w = _prep(df, single_file).write.mode("overwrite").option("header", "true")
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.csv(path)
 
 
 def write_json(df: DataFrame, path: str, single_file: bool = False) -> None:

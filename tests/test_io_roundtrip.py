@@ -47,6 +47,9 @@ def test_bucketed_join_query_has_no_exchange(spark, sf_dir_oracle):
     """The registered bucketed-join query must plan with zero shuffles."""
     df = REGISTRY["source_bucketed_join"].fn(spark, sf_dir_oracle)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    join_part = plan.split("HashAggregate")[-1]
+    # A shuffle-based join (not broadcast — broadcast bypasses the bucket
+    # layout entirely) with NO exchange on EITHER join key: the bucketed
+    # files alone satisfy the join's distribution requirement.
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     assert "Exchange hashpartitioning(o_custkey" not in plan
-    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "Join" in join_part
+    assert "Exchange hashpartitioning(c_custkey" not in plan

@@ -60,11 +60,15 @@ def test_salted_join_rejects_unsupported_types(spark):
 
 
 def test_connected_components_raises_on_non_convergence(spark):
+    # Pointer jumping compresses ~4x reach per iteration (operators/graph.py),
+    # so a short chain now converges even at max_iter=2; a 400-node path is
+    # far beyond 2 iterations' reach and must still raise rather than return
+    # non-minimal labels.
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(10)], schema="u long, v long"
+        [(i, i + 1) for i in range(399)], schema="u long, v long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iter=2)
-    # and converges fine with enough iterations
+    # and converges fine with enough iterations (log-diameter budget)
     out = connected_components(chain, max_iter=15)
     assert {r.cluster for r in out.collect()} == {0}
