@@ -1119,6 +1119,51 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_markov_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n,
+           ROUND(COUNT(*) * 1.0
+                 / SUM(COUNT(*)) OVER (PARTITION BY prev_type), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    counts and row-normalized probabilities for every (prev → next)
+    event-type pair — the sequence-model feature behind next-action
+    prediction and behavioral-cohort comparison.
+
+    Scale shape: one shuffle on user_id for the LAG window, then the
+    transition counts collapse to a |types|² domain (map-side combined);
+    the normalizing window runs over that tiny aggregate, not the event
+    stream.  Probabilities divide exact integer counts in double — both
+    engines compute bit-identical quotients before the shared round."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 6).alias("p"),
+    )
+
+
+@query(
     "agg_corr_by_flag",
     oracle="""
     SELECT l_returnflag,

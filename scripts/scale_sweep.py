@@ -157,9 +157,12 @@ def spark_wall(sf_dir: str) -> dict:
 
 
 def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
-    """Run each headline query's oracle SQL on sf_dir, warm best-of-2."""
+    """Run each headline query's oracle SQL on sf_dir, warm best-of-N
+    (``SWEEP_DUCKDB_PASSES``, default 2; set 1 at GB-scale factors where a
+    second pass of the slowest oracles costs tens of minutes)."""
     from datafusion_parallelism_spark.queries import REGISTRY
 
+    passes = int(os.environ.get("SWEEP_DUCKDB_PASSES", "2"))
     con = duckdb.connect()
     con.sql(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in list(OFFSETS) + list(FIXED_TABLES):
@@ -172,7 +175,7 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
         if oracle is None:
             continue
         best = float("inf")
-        for _ in range(2):
+        for _ in range(passes):
             t0 = time.perf_counter()
             con.sql(oracle).fetchall()
             best = min(best, time.perf_counter() - t0)
@@ -196,8 +199,10 @@ def main() -> None:
             / 1e6,
             1,
         )
-        duck = duckdb_wall(sf_dir, HEADLINE)
+        # Spark first: its scaling curve is the sweep's primary subject;
+        # the DuckDB pass (which dominates wall at GB factors) follows.
         spark = spark_wall(sf_dir)
+        duck = duckdb_wall(sf_dir, HEADLINE)
         row = {
             "factor": f,
             "input_mb": size_mb,
