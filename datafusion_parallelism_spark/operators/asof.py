@@ -35,6 +35,7 @@ def asof_join(
     right_cols: Sequence[str] | None = None,
     how: str = "left",
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """As-of join: nearest right row per key on one side of left_ts.
 
@@ -47,6 +48,11 @@ def asof_join(
     DuckDB ``ON l.ts >= r.ts``) or 'forward' (earliest right with
     right_ts >= left_ts, DuckDB ``ON l.ts <= r.ts``).  Ties match in
     both directions.
+    ``tolerance`` — optional SQL interval literal (e.g. ``'1 HOUR'``):
+    a match older (backward) / later (forward) than left_ts ± tolerance
+    is discarded, matching pandas ``merge_asof(tolerance=...)``.  Applied
+    AFTER the window fill as a per-row predicate, so the one-shuffle
+    union+window plan is unchanged.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
@@ -57,7 +63,11 @@ def asof_join(
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
 
     left_cols = [c for c in left.columns if c not in keys and c != left_ts]
-    r_struct = F.struct(*[F.col(c) for c in right_cols])
+    # The matched right row's own timestamp rides along in the struct so a
+    # tolerance bound can be checked after the fill.
+    r_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(right_ts).alias("__rts")
+    )
 
     # Side tag orders equal timestamps so a right row at ts == left ts is
     # visible to that left row (right sorts first on ties).
@@ -100,6 +110,13 @@ def asof_join(
             .rowsBetween(Window.currentRow, Window.unboundedFollowing)
         )
         filled = unioned.withColumn("__m", F.first("__r", ignorenulls=True).over(w))
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            ok = F.col("__m.__rts") >= F.col("__ts") - bound
+        else:
+            ok = F.col("__m.__rts") <= F.col("__ts") + bound
+        filled = filled.withColumn("__m", F.when(ok, F.col("__m")))
     keep = F.col("__side") == 1
     if how == "inner":
         keep = keep & F.col("__m").isNotNull()

@@ -443,6 +443,63 @@ def events_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("user_id", "purchase_id", "purchase_value", "click_id", "click_value")
 
 
+@query(
+    "events_asof_within_1h",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts, event_id AS purchase_id, value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id,
+             arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT p.user_id, p.purchase_id, p.purchase_value, p.ts,
+             (SELECT MAX(c.ts) FROM clicks c
+              WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                AND c.ts >= p.ts - INTERVAL 1 HOUR) AS click_ts
+      FROM purchases p
+    )
+    SELECT m.user_id, m.purchase_id, m.purchase_value,
+           c.click_id, c.click_value
+    FROM m LEFT JOIN clicks c
+      ON c.user_id = m.user_id AND c.ts = m.click_ts
+    """,
+)
+def events_asof_within_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tolerance-bounded as-of join (pandas ``merge_asof(tolerance=...)``
+    semantics): each purchase gets the user's most recent click, but only
+    if it happened within the preceding hour — stale matches null out.
+    The tolerance is a per-row predicate AFTER the union+window fill, so
+    the plan keeps the one-key-shuffle/no-range-expansion shape of the
+    base operator (operators/asof.py).  The oracle expresses the same
+    bound as a correlated scalar subquery (DuckDB's native ASOF JOIN has
+    no tolerance clause)."""
+    from ..operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(
+            F.max("event_id").alias("click_id"),
+            F.max_by("value", "event_id").alias("click_value"),
+        )
+    )
+    return asof_join(
+        purchases, clicks, on="user_id", left_ts="ts", right_ts="ts",
+        tolerance="1 HOUR",
+    ).select("user_id", "purchase_id", "purchase_value", "click_id", "click_value")
+
+
 # --------------------------------------------------------------------------
 # Sketch aggregates (approximate; no SQL-exact oracle by construction)
 # --------------------------------------------------------------------------

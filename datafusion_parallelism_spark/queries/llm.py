@@ -2324,13 +2324,15 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lookups summed — no corpus floats are ever touched at query time.
 
     Scale shape: the LUT is |Q|·M·K rows (tiny — broadcasts at any corpus
-    size); the corpus side joins its codes against it map-side, then a
-    block-local top-k bounds the global window's input to NB·|Q|·k rows —
-    the same two-phase exact-top-k argument as ann_bruteforce_topk.  In a
-    production index this ADC scan runs per IVF cell (ann_ivf_topk is the
-    cell-pruning layer); flat ADC is the recall-1.0 baseline of that
+    size); the corpus side joins its codes against it map-side; the
+    per-query exact top-k runs as ONE window whose rank filter Spark
+    plans with a partial WindowGroupLimit — each map task forwards at
+    most k rows per query to the final window's exchange (verified in
+    docs/plans/ann_pq_topk.txt), the same two-phase exact-top-k argument
+    ann_bruteforce_topk implements manually inside its pandas stage.  In
+    a production index this ADC scan runs per IVF cell (ann_ivf_topk is
+    the cell-pruning layer); flat ADC is the recall-1.0 baseline of that
     composition."""
-    NB = 32
     e = load(spark, sf_dir, "embeddings")
     dists = _pq_dists(spark, e)
     codes = _pq_codes(dists.filter(F.col("vec_id") >= 10)).select(
@@ -2344,12 +2346,9 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("qid"), F.col("vec_id").alias("vid"))
         .agg(F.sum("d2").alias("adist"))
     )
-    wb = Window.partitionBy("qid", (F.col("vid") % NB)).orderBy("adist", "vid")
     wg = Window.partitionBy("qid").orderBy("adist", "vid")
     return (
-        adc.withColumn("brk", F.row_number().over(wb))
-        .filter(F.col("brk") <= 5)
-        .withColumn("rk", F.row_number().over(wg))
+        adc.withColumn("rk", F.row_number().over(wg))
         .filter(F.col("rk") <= 5)
         .select("qid", "vid", F.round("adist", 6).alias("adist"), "rk")
     )

@@ -135,7 +135,15 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # In local mode the driver heap IS the whole cluster's memory: all
+        # 32 executor threads share it for partial-agg hash maps, joins and
+        # broadcasts.  8g on this 128 GiB box under-provisioned exactly the
+        # way "spill-aware" sizing warns about — at 1.15 GB input (x64
+        # replica) the Expand-doubled COUNT(DISTINCT) partial maps spilled
+        # and agg_count_distinct went 2.6 s → 82.6 s (32× for 2× data,
+        # docs/scale_sweep_r3.jsonl).  24g restores linear scaling; on a
+        # real cluster this is executor memory scaling with cores/task.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", "10485760")
         # Static size estimates for file relations are COMPRESSED bytes

@@ -98,3 +98,34 @@ def test_events_asof_forward_matches_duckdb_native_asof(spark, sf_dir_oracle):
         spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
     )
     assert ok, detail
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """Backward + tolerance: a match older than left_ts - tolerance is
+    discarded (pandas merge_asof(tolerance=...) semantics); in-window and
+    tied matches survive; 'inner' drops the nulled rows."""
+    left, right = _frames(spark)
+    out = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", tolerance="30 MINUTES"
+        ).collect()
+    }
+    assert out == {
+        "p1": "r1",   # 09:30 is exactly 30 min before 10:00 → inside bound
+        "p2": "r2",   # tie at 12:00, zero age
+        "p3": None,   # no right row at or before 09:00
+        "p4": None,   # key absent
+    }
+    tight = {
+        r.lv: r.rv
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", tolerance="10 MINUTES"
+        ).collect()
+    }
+    assert tight["p1"] is None  # r1 is 30 min old → outside the 10-min bound
+    inner = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts",
+        tolerance="10 MINUTES", how="inner",
+    )
+    assert {r.lv for r in inner.collect()} == {"p2"}
