@@ -2174,15 +2174,27 @@ _PQ_M = 32    # subspaces
 _PQ_D = 2     # dims per subspace (embedding dim 64 / 32)
 _PQ_K = 64    # codebook size per subspace
 
-#: Shared oracle CTE: vectors are L2-NORMALIZED first (cosine-PQ: on unit
-#: vectors, squared-L2 ordering == cosine ordering, so ADC results rank by
-#: the same metric the exact baseline uses), then squared L2 between every
-#: vector's j-th subvector and every anchor's.  Anchors are the _PQ_K
-#: smallest vec_ids — a deterministic stand-in for a trained codebook
-#: (vec_label_centroids is the k-means-style trainer; any codebook source
-#: plugs into the same assignment plan).  Differences are squared by
-#: multiplication (not power()) so both engines run the identical fp ops.
-_PQ_DISTS_SQL = f"""
+#: Shared oracle CTE chain: vectors are L2-NORMALIZED first (cosine-PQ:
+#: on unit vectors, squared-L2 ordering == cosine ordering, so ADC ranks
+#: by the same metric the exact baseline uses); the codebook is seeded
+#: from the _PQ_K smallest vec_ids and then TRAINED with _PQ_ITERS
+#: deterministic Lloyd iterations (rounded centroids for cross-engine fp
+#: reproducibility) before the final subvector↔anchor distance table.
+_PQ_ITERS = 2   # Lloyd iterations (recall@5 0.66 untrained → 0.74 trained)
+_PQ_ROUND = 5   # centroids rounded per update: sum-association fp noise
+                # (~1e-14) cannot survive a 1e-5 grid, so both engines'
+                # codebooks are value-identical and every downstream
+                # distance/argmin is bit-reproducible cross-engine.
+
+
+def _pq_train_sql() -> str:
+    """Oracle CTE chain: normalize → subvector table → sampled codebook →
+    _PQ_ITERS unrolled Lloyd iterations (assign to nearest anchor, average
+    members per (subspace, code), rounded; empty clusters keep their
+    previous anchor) → final ``dists`` (vec_id, j, aid, d2).  Generated
+    programmatically so the iteration count is one constant."""
+    d, m, k, rnd = _PQ_D, _PQ_M, _PQ_K, _PQ_ROUND
+    sql = f"""
     normed AS (
       SELECT vec_id, list_transform(dv, x -> x / nrm) AS emb
       FROM (
@@ -2192,52 +2204,153 @@ _PQ_DISTS_SQL = f"""
         FROM embeddings
       )
     ),
-    anchors AS (
-      SELECT vec_id AS aid, emb AS aemb FROM normed
-      ORDER BY vec_id LIMIT {_PQ_K}
+    subv AS (
+      SELECT vec_id, js.j, emb[js.j*{d} + 1] AS e1, emb[js.j*{d} + 2] AS e2
+      FROM normed CROSS JOIN (SELECT unnest(range({m})) AS j) js
     ),
+    anch0 AS (
+      SELECT js.j, t.vec_id AS aid,
+             t.emb[js.j*{d} + 1] AS a1, t.emb[js.j*{d} + 2] AS a2
+      FROM (SELECT vec_id, emb FROM normed ORDER BY vec_id LIMIT {k}) t
+      CROSS JOIN (SELECT unnest(range({m})) AS j) js
+    )"""
+    prev = "anch0"
+    for t in range(_PQ_ITERS):
+        sql += f""",
+    d{t} AS (
+      SELECT s.vec_id, s.j, a.aid,
+             (s.e1 - a.a1) * (s.e1 - a.a1)
+           + (s.e2 - a.a2) * (s.e2 - a.a2) AS d2
+      FROM subv s JOIN {prev} a ON s.j = a.j
+    ),
+    b{t} AS (SELECT vec_id, j, MIN(d2) AS dmin FROM d{t} GROUP BY 1, 2),
+    c{t} AS (
+      SELECT d.vec_id, d.j, MIN(d.aid) AS code
+      FROM d{t} d JOIN b{t} b
+        ON d.vec_id = b.vec_id AND d.j = b.j AND d.d2 = b.dmin
+      GROUP BY 1, 2
+    ),
+    m{t} AS (
+      SELECT c.j, c.code AS aid,
+             ROUND(AVG(s.e1), {rnd}) AS a1, ROUND(AVG(s.e2), {rnd}) AS a2
+      FROM c{t} c JOIN subv s ON s.vec_id = c.vec_id AND s.j = c.j
+      GROUP BY 1, 2
+    ),
+    anch{t + 1} AS (
+      SELECT p.j, p.aid, COALESCE(u.a1, p.a1) AS a1, COALESCE(u.a2, p.a2) AS a2
+      FROM {prev} p LEFT JOIN m{t} u ON u.j = p.j AND u.aid = p.aid
+    )"""
+        prev = f"anch{t + 1}"
+    sql += f""",
     dists AS (
-      SELECT v.vec_id, js.j, a.aid,
-             list_sum(list_transform(range(1, {_PQ_D} + 1),
-               i -> (v.emb[js.j*{_PQ_D} + i] - a.aemb[js.j*{_PQ_D} + i])
-                  * (v.emb[js.j*{_PQ_D} + i] - a.aemb[js.j*{_PQ_D} + i]))) AS d2
-      FROM normed v
-      CROSS JOIN (SELECT unnest(range({_PQ_M})) AS j) js
-      CROSS JOIN anchors a
-    )
-"""
+      SELECT s.vec_id, s.j, a.aid,
+             (s.e1 - a.a1) * (s.e1 - a.a1)
+           + (s.e2 - a.a2) * (s.e2 - a.a2) AS d2
+      FROM subv s JOIN {prev} a ON s.j = a.j
+    )"""
+    return sql
 
 
-def _pq_dists(spark: SparkSession, vecs: DataFrame) -> DataFrame:
-    """(vec_id, j, aid, d2): squared L2 between each L2-NORMALIZED
-    vector's subspace-j slice and each anchor's — the Spark mirror of
-    _PQ_DISTS_SQL (cosine-PQ: unit vectors make squared-L2 rank like
-    cosine).  The codebook (K rows) and subspace index (M rows) broadcast;
-    the vector side is a pure map — no shuffle of the corpus at any
-    scale.  The norm is projected ONCE per vector (not re-derived per
-    element) so normalization stays O(dim)."""
+_PQ_DISTS_SQL = _pq_train_sql()
+
+
+def _pq_subv(vecs: DataFrame, spark: SparkSession) -> DataFrame:
+    """(vec_id, j, e1, e2): every L2-NORMALIZED vector split into its M
+    2-dim subvectors (cosine-PQ: unit vectors make squared-L2 rank like
+    cosine).  The norm is projected ONCE per vector; the M-way explode is
+    a broadcast cross join — a pure map over the corpus."""
     vd = as_double(F.col("embedding"))
     normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
         "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
     )
-    anchors = (
+    js = spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
+    idx1 = (F.col("j") * _PQ_D + 1).cast("int")
+    idx2 = (F.col("j") * _PQ_D + 2).cast("int")
+    return normed.crossJoin(F.broadcast(js)).select(
+        "vec_id",
+        "j",
+        F.element_at("emb", idx1).alias("e1"),
+        F.element_at("emb", idx2).alias("e2"),
+    )
+
+
+def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
+    """Train the codebook: _PQ_ITERS deterministic Lloyd iterations over
+    the subvector table.  Each iteration assigns every subvector to its
+    nearest anchor (ties → smallest aid) and replaces each anchor with the
+    rounded member mean (empty clusters keep their anchor) — the exact
+    computation the oracle's unrolled CTE chain performs.  The codebook is
+    a model artifact of constant size (M·K rows ≈ 2k), so each update is
+    collected and re-broadcast — the one legitimate driver materialization
+    (same class as CC's convergence scalars); at 100 TB training would run
+    on a corpus sample with the identical plan."""
+    schema = "j int, aid long, a1 double, a2 double"
+    anch = seed
+    for _ in range(_PQ_ITERS):
+        d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
+            F.col("e2") - F.col("a2")
+        ) * (F.col("e2") - F.col("a2"))
+        assign = (
+            subv.join(F.broadcast(anch), "j")
+            .select("vec_id", "j", "aid", d2.alias("d2"))
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "aid")).alias("s"))
+            .select("vec_id", "j", F.col("s.aid").alias("code"))
+        )
+        means = (
+            assign.join(subv, ["vec_id", "j"])
+            .groupBy("j", F.col("code").alias("aid"))
+            .agg(
+                F.round(F.avg("e1"), _PQ_ROUND).alias("m1"),
+                F.round(F.avg("e2"), _PQ_ROUND).alias("m2"),
+            )
+        )
+        updated = (
+            anch.join(means, ["j", "aid"], "left")
+            .select(
+                "j",
+                "aid",
+                F.coalesce("m1", "a1").alias("a1"),
+                F.coalesce("m2", "a2").alias("a2"),
+            )
+            .collect()
+        )
+        anch = spark.createDataFrame(updated, schema=schema)
+    return anch
+
+
+def _pq_dists(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """(vec_id, j, aid, d2): squared L2 between each normalized subvector
+    and every TRAINED codebook anchor — the Spark mirror of
+    _PQ_DISTS_SQL.  The codebook (M·K rows) broadcasts; the vector side
+    never shuffles.  Differences are squared by multiplication (not
+    power()) so both engines run the identical fp ops."""
+    subv = _pq_subv(vecs, spark)
+    js = spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
+    vd = as_double(F.col("embedding"))
+    normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
+        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
+    )
+    idx1 = (F.col("j") * _PQ_D + 1).cast("int")
+    idx2 = (F.col("j") * _PQ_D + 2).cast("int")
+    seed = (
         normed.orderBy("vec_id")
         .limit(_PQ_K)
-        .select(F.col("vec_id").alias("aid"), F.col("emb").alias("aemb"))
+        .crossJoin(F.broadcast(js))
+        .select(
+            "j",
+            F.col("vec_id").alias("aid"),
+            F.element_at("emb", idx1).alias("a1"),
+            F.element_at("emb", idx2).alias("a2"),
+        )
     )
-    js = spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
-    crossed = normed.crossJoin(F.broadcast(anchors)).crossJoin(F.broadcast(js))
-
-    def diff(i: Column) -> Column:
-        idx = (F.col("j") * _PQ_D + i).cast("int")
-        return F.element_at(F.col("emb"), idx) - F.element_at(F.col("aemb"), idx)
-
-    d2 = F.aggregate(
-        F.sequence(F.lit(1), F.lit(_PQ_D)),
-        F.lit(0.0),
-        lambda acc, i: acc + diff(i) * diff(i),
+    anch = _pq_trained_anchors(spark, subv, seed)
+    d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
+        F.col("e2") - F.col("a2")
+    ) * (F.col("e2") - F.col("a2"))
+    return subv.join(F.broadcast(anch), "j").select(
+        "vec_id", "j", "aid", d2.alias("d2")
     )
-    return crossed.select("vec_id", "j", "aid", d2.alias("d2"))
 
 
 def _pq_codes(dists: DataFrame) -> DataFrame:

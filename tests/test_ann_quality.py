@@ -28,27 +28,30 @@ def test_ann_recall_floors(spark, sf_dir_oracle):
 
 
 def test_pq_codes_properties(spark, sf_dir_oracle):
-    """Codebook anchors must encode to themselves with zero reconstruction
-    error — the PQ identity that catches any slicing/argmin off-by-one."""
+    """Structural + quality invariants of the trained codebook: every code
+    array has exactly M entries in [0, K); reconstruction error is
+    positive (Lloyd centroids are member MEANS, never an exact member of
+    this non-degenerate corpus); and the corpus-mean error beats the
+    untrained sampled codebook's measured 0.113 by a wide margin (the
+    training actually trained — measured 0.030)."""
     from datafusion_parallelism_spark.queries.llm import _PQ_K, _PQ_M
 
-    codes = {
-        r.vec_id: r
-        for r in REGISTRY["vec_pq_codes"].fn(spark, sf_dir_oracle).collect()
-    }
-    for aid in range(_PQ_K):
-        r = codes[aid]
-        assert list(r.codes) == [aid] * _PQ_M
-        assert r.recon_err == 0.0
-    # non-anchor vectors have strictly positive quantization error
-    assert all(r.recon_err > 0 for v, r in codes.items() if v >= _PQ_K)
+    rows = REGISTRY["vec_pq_codes"].fn(spark, sf_dir_oracle).collect()
+    assert rows
+    for r in rows:
+        assert len(r.codes) == _PQ_M
+        assert all(0 <= c < _PQ_K for c in r.codes)
+        assert r.recon_err > 0
+    mean_err = sum(r.recon_err for r in rows) / len(rows)
+    assert mean_err < 0.05, f"trained codebook regressed: mean err {mean_err}"
 
 
 def test_pq_adc_recall_floor(spark, sf_dir_oracle):
-    """ADC over the 32×64 sampled codebook vs exact cosine ground truth
-    (unit-normalized, so squared-L2 ADC ranks by the same metric).
-    Measured 0.66 on the deterministic fixture; the floor pins it to
-    catch LUT/code-join regressions, not to certify production recall."""
+    """ADC over the 32×64 Lloyd-trained codebook vs exact cosine ground
+    truth (unit-normalized, so squared-L2 ADC ranks by the same metric).
+    Measured 0.74 on the deterministic fixture (0.66 before training);
+    the floor pins it to catch LUT/code-join/training regressions, not to
+    certify production recall."""
     truth = _topk_sets(spark, sf_dir_oracle, "ann_bruteforce_topk")
     approx = {}
     for r in REGISTRY["ann_pq_topk"].fn(spark, sf_dir_oracle).collect():
@@ -58,4 +61,4 @@ def test_pq_adc_recall_floor(spark, sf_dir_oracle):
 
 
 #: measured on the deterministic sf0.01 fixture; update only with evidence.
-_PQ_RECALL_FLOOR = 0.60
+_PQ_RECALL_FLOOR = 0.70
