@@ -1174,12 +1174,16 @@ MIX_WEIGHTS = {"src0": 0.4, "src1": 0.25, "src2": 0.15, "src3": 0.1, "src4": 0.1
 )
 def mix_source_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Current corpus mixture by source (the dashboard a mixing recipe is
-    tuned against) — exact, oracle-checked."""
+    tuned against) — exact, oracle-checked.  The denominator comes from a
+    1-row aggregate of the per-source counts broadcast back onto them —
+    one job, no driver-side count() action."""
     d = load(spark, sf_dir, "documents")
-    total = d.count()
-    return d.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.count(F.lit(1)) / F.lit(float(total)), 4).alias("frac"),
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n",
+        F.round(F.col("n") / F.col("total"), 4).alias("frac"),
     )
 
 
@@ -2463,5 +2467,109 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         adc.withColumn("rk", F.row_number().over(wg))
         .filter(F.col("rk") <= 5)
+        .select("qid", "vid", F.round("adist", 6).alias("adist"), "rk")
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH {_PQ_DISTS_SQL},
+    cents AS (
+      SELECT vec_id AS cid, embedding AS cv FROM embeddings
+      WHERE vec_id < {_IVF_K}
+    ),
+    scored_cells AS (
+      SELECT e.vec_id, c.cid,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(c.cv AS DOUBLE[])), 6) AS s
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    cell AS (
+      SELECT vec_id, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY s DESC, cid) AS rn
+        FROM scored_cells
+      ) t WHERE rn = 1
+    ),
+    best AS (SELECT vec_id, j, MIN(d2) AS dmin FROM dists
+             WHERE vec_id >= {_N_QUERY_VECS} GROUP BY 1, 2),
+    codes AS (
+      SELECT d.vec_id, d.j, MIN(d.aid) AS code
+      FROM dists d JOIN best b
+        ON d.vec_id = b.vec_id AND d.j = b.j AND d.d2 = b.dmin
+      GROUP BY 1, 2
+    ),
+    adc AS (
+      SELECT cq.vec_id AS qid, c.vec_id AS vid, SUM(l.d2) AS adist
+      FROM codes c
+      JOIN cell cc ON cc.vec_id = c.vec_id
+      JOIN cell cq ON cq.cid = cc.cid AND cq.vec_id < {_N_QUERY_VECS}
+      JOIN dists l ON l.vec_id = cq.vec_id AND l.j = c.j AND l.aid = c.code
+      GROUP BY 1, 2
+    )
+    SELECT qid, vid, ROUND(adist, 6) AS adist, rk FROM (
+      SELECT qid, vid, adist,
+             ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vid) AS rk
+      FROM adc
+    ) t WHERE rk <= {_TOPK}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composition — the standard billion-scale ANN index layout:
+    a coarse quantizer prunes the search to each query's cell (nprobe=1,
+    as ann_ivf_topk), and WITHIN the cell candidates are ranked by
+    asymmetric PQ distance over the trained codebook (as ann_pq_topk) —
+    the corpus contributes only its cell id and M code bytes at query
+    time; no corpus floats are read.
+
+    Scale shape: centroids and the per-query LUT both broadcast; the
+    corpus-side work is one map (cell assign) + one map (code assign) +
+    a same-cell join that touches only 1/K of the candidate space per
+    query; the exact per-query top-k again rides Spark's partial
+    WindowGroupLimit.  Recall compounds both approximations (cell-pruning
+    miss × quantization noise) — measured and pinned in
+    tests/test_ann_quality.py."""
+    e = load(spark, sf_dir, "embeddings")
+    ed = e.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    cents = ed.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    scored_cells = ed.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cid", F.round(cosine(F.col("v"), F.col("cv")), 6).alias("s")
+    )
+    wa = Window.partitionBy("vec_id").orderBy(F.desc("s"), F.asc("cid"))
+    cell = (
+        scored_cells.withColumn("rn", F.row_number().over(wa))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cid")
+    )
+    dists = _pq_dists(spark, e)
+    codes = _pq_codes(dists.filter(F.col("vec_id") >= _N_QUERY_VECS)).select(
+        "vec_id", "j", "code"
+    )
+    lut = dists.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), F.col("j").alias("lj"),
+        F.col("aid").alias("laid"), "d2",
+    )
+    qcell = cell.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+        F.col("vec_id").alias("qid"), "cid"
+    )
+    adc = (
+        codes.join(cell, "vec_id")
+        .join(F.broadcast(qcell), "cid")
+        .join(
+            F.broadcast(lut),
+            (F.col("lj") == F.col("j"))
+            & (F.col("laid") == F.col("code"))
+            & (lut["qid"] == qcell["qid"]),
+        )
+        .groupBy(qcell["qid"].alias("qid"), F.col("vec_id").alias("vid"))
+        .agg(F.sum("d2").alias("adist"))
+    )
+    wg = Window.partitionBy("qid").orderBy("adist", "vid")
+    return (
+        adc.withColumn("rk", F.row_number().over(wg))
+        .filter(F.col("rk") <= _TOPK)
         .select("qid", "vid", F.round("adist", 6).alias("adist"), "rk")
     )

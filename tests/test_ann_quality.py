@@ -60,5 +60,18 @@ def test_pq_adc_recall_floor(spark, sf_dir_oracle):
     assert rec >= _PQ_RECALL_FLOOR, f"PQ-ADC recall@5 regressed: {rec}"
 
 
+def test_ivfpq_recall_floor(spark, sf_dir_oracle):
+    """IVF-PQ compounds cell-pruning miss (IVF alone 0.78) with
+    quantization noise (flat PQ alone 0.74): measured 0.60 — below either
+    component, exactly as the composition predicts; the floor pins the
+    cell-join/ADC plumbing."""
+    truth = _topk_sets(spark, sf_dir_oracle, "ann_bruteforce_topk")
+    approx = {}
+    for r in REGISTRY["ann_ivfpq_topk"].fn(spark, sf_dir_oracle).collect():
+        approx.setdefault(r.qid, set()).add(r.vid)
+    rec = _recall(truth, approx)
+    assert rec >= 0.55, f"IVF-PQ recall@5 regressed: {rec}"
+
+
 #: measured on the deterministic sf0.01 fixture; update only with evidence.
 _PQ_RECALL_FLOOR = 0.70
