@@ -260,3 +260,33 @@ def test_exists_in_disjunction_plans_existence_join(spark, sf_dir):
     df = REGISTRY["join_existence_mark"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().optimizedPlan().toString()
     assert "ExistenceJoin" in plan, plan[:1500]
+
+
+def test_pq_codebook_broadcasts_and_scan_prunes(spark, sf_dir):
+    """vec_pq_codes: the trained codebook must reach the corpus via
+    broadcast (never an exchange of the vector side before the partial
+    aggregations), and the embeddings scan must read only the two used
+    columns."""
+    plan = physical_plan_str(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    schemas = read_schemas(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
+    assert any("vec_id" in s and "embedding" in s for s in schemas), schemas
+
+
+def test_pq_adc_topk_uses_window_group_limit(spark, sf_dir):
+    """ann_pq_topk's exact top-k must plan with the partial
+    WindowGroupLimit (map-side k-row bound before the final window's
+    exchange) and join the LUT by broadcast — no corpus-side shuffle for
+    the lookup."""
+    plan = physical_plan_str(REGISTRY["ann_pq_topk"].fn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pii_redact_is_single_aggregation_no_python(spark, sf_dir):
+    """corpus_pii_redact: pure JVM regex kernels + ONE hash-partitioned
+    exchange (the per-source aggregate) — no Python evaluation anywhere
+    in the plan."""
+    plan = physical_plan_str(REGISTRY["corpus_pii_redact"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
