@@ -174,7 +174,11 @@ def get_spark(
     return builder.getOrCreate()
 
 
-def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
+def benchmark_session(
+    sf_dir: str,
+    app_name: str = "bench",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
     """Session tuned for measuring queries over ``sf_dir`` — the ONE place
     both harnesses (bench.py, runner.py) get their measurement config:
 
@@ -185,9 +189,16 @@ def benchmark_session(sf_dir: str, app_name: str = "bench") -> SparkSession:
       latency dominates on MB-scale inputs where its coalesce/skew
       benefits are no-ops (measured ~15% of headline wall at sf0.1);
     * log level ERROR so harness stdout stays parseable.
+
+    ``extra_conf`` is forwarded to :func:`get_spark` builder confs — only
+    effective when this call CREATES the session (getOrCreate semantics);
+    bench.py uses it to push the periodic context-cleaner GC outside its
+    measured windows.
     """
     n_shuffle = auto_shuffle_partitions(sf_dir)
-    spark = get_spark(app_name=app_name, shuffle_partitions=n_shuffle)
+    spark = get_spark(
+        app_name=app_name, shuffle_partitions=n_shuffle, extra_conf=extra_conf
+    )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     # Set BOTH directions: getOrCreate reuses sessions, so a small-data
     # call must not leak AQE=off into a later large-data session.
