@@ -1,4 +1,4 @@
-"""Iterative graph operators on DataFrames (dedup cluster resolution).
+"""Iterative graph operators on DataFrames (dedup clusters, PageRank).
 
 Near-dup detection emits PAIRS; a dedup pipeline must resolve them into
 clusters and pick one canonical doc per cluster.  That is connected
@@ -129,3 +129,92 @@ def connected_components(
             "(component diameter exceeds max_iter); raise max_iter"
         )
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    iterations: int = 10,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """PageRank with uniform teleport and dangling-mass redistribution.
+
+    Web-scale corpus curation weights documents by the link authority of
+    their source (the CommonCrawl-style quality signal); this is the
+    distributed power iteration that computes it.  Fixed ``iterations``
+    (no convergence test) keeps the result a deterministic function of the
+    graph — the property that lets an unrolled-CTE SQL oracle reproduce it
+    bit-for-bit up to summation order.
+
+    ``edges``: DataFrame whose first two columns are (src, dst); duplicate
+    edges are collapsed (unweighted graph).  Nodes appear iff they occur in
+    an edge.  Returns (node, rank) with sum(rank) == 1: per iteration,
+
+        rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
+
+    where D is the total rank mass sitting on dangling nodes (outdeg 0),
+    redistributed uniformly — the standard strongly-preferential handling,
+    which preserves the probability-distribution invariant.
+
+    Scale posture: edges are normalized ONCE into (src, dst, 1/outdeg) and
+    lineage-truncated; each iteration is one shuffled join edges⋈ranks +
+    one map-side-combined SUM per dst, all distributed.  The dangling mass
+    stays in a 1-row DataFrame cross-broadcast onto the update — no
+    per-iteration driver collect; the only driver scalar is N (one count).
+    localCheckpoint per iteration keeps plans O(1) deep.
+    """
+    u, v = edges.columns[:2]
+    e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).distinct()
+    if checkpoint:
+        e = e.localCheckpoint(eager=True)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    if checkpoint:
+        nodes = nodes.localCheckpoint(eager=True)
+    n = nodes.count()
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # Pre-normalized edge weights: contribution of u to v is rank(u) * w
+    # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
+    # cross-engine drift reduces to SUM order alone.
+    e_norm = e.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    if checkpoint:
+        e_norm = e_norm.localCheckpoint(eager=True)
+    has_out = outdeg.select(F.col("src").alias("node"))
+    if checkpoint:
+        has_out = has_out.localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            e_norm.join(ranks, e_norm["src"] == ranks["node"])
+            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        dangling = ranks.join(has_out, "node", "left_anti").agg(
+            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+        )
+        new_ranks = (
+            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("contrib"), F.lit(0.0))
+                        + F.col("dm") / F.lit(float(n))
+                    )
+                ).alias("rank"),
+            )
+        )
+        if checkpoint:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+        ranks = new_ranks
+    return ranks

@@ -17,5 +17,6 @@ from . import llm  # noqa: E402,F401
 from . import multimodal  # noqa: E402,F401
 from . import streaming  # noqa: E402,F401
 from . import io_roundtrip  # noqa: E402,F401
+from . import graph  # noqa: E402,F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

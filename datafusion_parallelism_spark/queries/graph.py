@@ -1,0 +1,123 @@
+"""Graph-analytics corpus: link-authority ranking over entity graphs.
+
+Beyond the reference's SQL surface (like the connected-components cluster
+resolver in ``operators/graph.py``, registered as ``dedup_near_clusters``):
+a 100 TB training-data pipeline weights documents by the link authority of
+their source domain — the CommonCrawl-style quality prior — which is
+PageRank over the crawl/link graph.  The synthetic tables have no document
+link graph, so the registered query ranks the customer↔supplier trade
+graph derived from orders⋈lineitem: the same bipartite "who interacts with
+whom" shape (and the same plan: distinct edge extraction, degree
+normalization, iterated join+aggregate) as a domain↔document graph.
+
+Oracle: PageRank with a FIXED iteration count is a deterministic function
+of the graph, so the DuckDB oracle is the power iteration UNROLLED into a
+chain of CTEs (r0..r10) — no recursion (standard SQL bars aggregates in a
+recursive member).  Every CTE is AS MATERIALIZED: each step references its
+predecessor twice (contribution sum + dangling mass), so inlining would
+expand the base scan 2^10 times ("Too many open files" in practice);
+materialization keeps the oracle linear in the iteration count.  Both
+engines compute identical IEEE products rank*1/outdeg; only SUM order
+differs, so ROUND to 7 decimals makes the hash stable (drift ~1e-15 vs
+granularity 1e-7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.graph import pagerank
+from ..session import load
+from .registry import query
+
+_DAMPING = 0.85
+_ITERS = 10
+
+#: Shared edge derivation (both engines): distinct customer↔supplier pairs
+#: that traded, encoded into one integer node domain (2k customer, 2k+1
+#: supplier), with both orientations so rank can flow both ways.
+_EDGE_CTES = """
+pairs AS MATERIALIZED (
+    SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+edges AS MATERIALIZED (
+    SELECT 2 * c AS src, 2 * s + 1 AS dst FROM pairs
+    UNION ALL
+    SELECT 2 * s + 1 AS src, 2 * c AS dst FROM pairs
+),
+nodes AS MATERIALIZED (
+    SELECT DISTINCT src AS node FROM edges
+    UNION
+    SELECT DISTINCT dst FROM edges
+),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+en AS MATERIALIZED (
+    SELECT e.src, e.dst, 1.0 / d.outdeg AS w
+    FROM edges e JOIN deg d ON e.src = d.src
+),
+nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes)
+"""
+
+
+def _step(i: int) -> str:
+    """One unrolled power-iteration step r{i-1} -> r{i}."""
+    return f"""
+c{i} AS MATERIALIZED (
+    SELECT en.dst AS node, SUM(r.rank * en.w) AS contrib
+    FROM en JOIN r{i - 1} r ON en.src = r.node
+    GROUP BY en.dst
+),
+d{i} AS MATERIALIZED (
+    SELECT COALESCE(SUM(r.rank), 0.0) AS dm
+    FROM r{i - 1} r LEFT JOIN deg ON r.node = deg.src
+    WHERE deg.src IS NULL
+),
+r{i} AS MATERIALIZED (
+    SELECT nodes.node,
+           (1 - {_DAMPING}) / (SELECT n FROM nn)
+           + {_DAMPING} * (COALESCE(c{i}.contrib, 0.0)
+                           + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+    FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node
+)"""
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _EDGE_CTES
+    + ","
+    + ",".join(_step(i) for i in range(1, _ITERS + 1))
+    + f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       CAST((node - (node % 2)) / 2 AS BIGINT) AS key,
+       ROUND(rank, 7) AS rank_r7
+FROM r{_ITERS}
+"""
+)
+
+
+@query("graph_pagerank", oracle=_PAGERANK_ORACLE)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer↔supplier trade graph (10 iterations,
+    d=0.85, dangling mass redistributed).  See module docstring."""
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("u"),
+            (F.col("l_suppkey") * 2 + 1).alias("v"),
+        )
+        .distinct()
+    )
+    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    ranks = pagerank(edges, damping=_DAMPING, iterations=_ITERS)
+    return ranks.select(
+        F.when(F.col("node") % 2 == 0, F.lit("customer"))
+        .otherwise(F.lit("supplier"))
+        .alias("kind"),
+        ((F.col("node") - F.col("node") % 2) / 2).cast("long").alias("key"),
+        F.round("rank", 7).alias("rank_r7"),
+    )

@@ -159,10 +159,20 @@ def spark_wall(sf_dir: str) -> dict:
 def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
     """Run each headline query's oracle SQL on sf_dir, warm best-of-N
     (``SWEEP_DUCKDB_PASSES``, default 2; set 1 at GB-scale factors where a
-    second pass of the slowest oracles costs tens of minutes)."""
+    second pass of the slowest oracles costs tens of minutes).
+
+    ``SWEEP_DUCKDB_SKIP`` (comma-separated query names) excludes oracles
+    that are super-linear in DuckDB and already established as such at a
+    lower factor — e.g. dedup_minhash_lsh's all-pairs verify hit 1902.7 s
+    at x64 (scale_sweep_r3.jsonl); at x256 it would run for hours without
+    adding information.  Skipped names are absent from the returned dict,
+    so totals stay comparable only across the same skip set."""
     from datafusion_parallelism_spark.queries import REGISTRY
 
     passes = int(os.environ.get("SWEEP_DUCKDB_PASSES", "2"))
+    skip = {
+        s for s in os.environ.get("SWEEP_DUCKDB_SKIP", "").split(",") if s
+    }
     con = duckdb.connect()
     con.sql(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
     for t in list(OFFSETS) + list(FIXED_TABLES):
@@ -171,6 +181,8 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
         )
     times: dict[str, float] = {}
     for name in names:
+        if name in skip:
+            continue
         oracle = REGISTRY[name].oracle
         if oracle is None:
             continue

@@ -1,7 +1,11 @@
-"""connected_components unit tests (chain, cycle, disjoint components)."""
+"""Graph-operator unit tests: connected_components and pagerank."""
 
+import numpy as np
 
-from datafusion_parallelism_spark.operators.graph import connected_components
+from datafusion_parallelism_spark.operators.graph import (
+    connected_components,
+    pagerank,
+)
 
 
 def _cc(spark, edges):
@@ -46,3 +50,65 @@ def test_stats_iterations_reported(spark):
     df = spark.createDataFrame([(1, 2), (2, 3)], schema="u long, v long")
     connected_components(df, stats=stats).collect()
     assert stats["iterations"] >= 1
+
+
+def _pr_reference(edges, damping, iterations):
+    """NumPy power iteration — independent oracle for the Spark operator."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dm = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+def _pr(spark, edges, **kw):
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    return {r.node: r["rank"] for r in pagerank(df, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    # Asymmetric directed graph with a hub (3) and a cycle back edge.
+    edges = [(1, 3), (2, 3), (4, 3), (3, 1), (1, 2), (5, 1)]
+    got = _pr(spark, edges, damping=0.85, iterations=10)
+    want = _pr_reference(edges, 0.85, 10)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_dangling_mass_redistributed(spark):
+    # 1 -> 2 -> 3 with 3 dangling: ranks must still sum to 1 and increase
+    # monotonically downstream (3 accumulates 2's mass which holds 1's).
+    got = _pr(spark, [(1, 2), (2, 3)], damping=0.85, iterations=15)
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    assert got[1] < got[2] < got[3]
+    want = _pr_reference([(1, 2), (2, 3)], 0.85, 15)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-12
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    # Bidirectional 3-cycle: perfect symmetry => exactly uniform ranks at
+    # every iteration, regardless of damping.
+    edges = [(1, 2), (2, 1), (2, 3), (3, 2), (3, 1), (1, 3)]
+    got = _pr(spark, edges, damping=0.85, iterations=5)
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+
+def test_pagerank_duplicate_edges_collapsed(spark):
+    # Edges are a set: duplicates must not double contributions.
+    a = _pr(spark, [(1, 2), (2, 1)], iterations=5)
+    b = _pr(spark, [(1, 2), (1, 2), (2, 1)], iterations=5)
+    for k in a:
+        assert abs(a[k] - b[k]) < 1e-12
