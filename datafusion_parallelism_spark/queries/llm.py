@@ -2573,3 +2573,61 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= _TOPK)
         .select("qid", "vid", F.round("adist", 6).alias("adist"), "rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dataset profiling (the ANALYZE-style first step of every curation run)
+
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+_PROFILE_ORACLE = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       COUNT({c}) AS n_present,
+       COUNT(*) - COUNT({c}) AS n_nulls,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       CAST(MIN({c}) AS VARCHAR) AS min_s,
+       CAST(MAX({c}) AS VARCHAR) AS max_s,
+       ROUND(AVG(LENGTH(CAST({c} AS VARCHAR))), 4) AS avg_len
+FROM documents"""
+    for c in _PROFILE_COLS
+)
+
+
+@query("corpus_profile", oracle=_PROFILE_ORACLE)
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column dataset profile of ``documents`` in ONE aggregate pass.
+
+    The first job any 100 TB curation pipeline runs: null rates, exact
+    cardinalities, value ranges, and average formatted width per column —
+    the inputs to schema checks, partition-key choice, and skew triage.
+
+    Plan shape: a single global aggregate computes every metric for every
+    column at once (Catalyst plans the multi-column COUNT(DISTINCT) set
+    via one Expand — one shuffle, column-count-independent pass count),
+    then ``stack`` unpivots the 1-row result into one row per column.
+    MIN/MAX are taken on the NATIVE type and cast to string afterwards
+    (casting first would turn numeric ranges into lexicographic ones).
+    """
+    df = load(spark, sf_dir, "documents")
+    total = F.count(F.lit(1))
+    aggs = []
+    for c in _PROFILE_COLS:
+        col = F.col(c)
+        aggs += [
+            F.count(col).alias(f"{c}__present"),
+            (total - F.count(col)).alias(f"{c}__nulls"),
+            F.countDistinct(col).alias(f"{c}__distinct"),
+            F.min(col).cast("string").alias(f"{c}__min"),
+            F.max(col).cast("string").alias(f"{c}__max"),
+            F.round(F.avg(F.length(col.cast("string"))), 4).alias(f"{c}__avglen"),
+        ]
+    row = df.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', {c}__present, {c}__nulls, {c}__distinct, {c}__min, {c}__max, {c}__avglen"
+        for c in _PROFILE_COLS
+    )
+    return row.selectExpr(
+        f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+        "(col_name, n_present, n_nulls, n_distinct, min_s, max_s, avg_len)"
+    )

@@ -106,6 +106,21 @@ def test_pagerank_symmetric_graph_uniform(spark):
         assert abs(v - 1.0 / 3.0) < 1e-12
 
 
+def test_graph_queries_match_oracle(spark, sf_dir_oracle):
+    from datafusion_parallelism_spark.queries import REGISTRY
+    from datafusion_parallelism_spark.testing import compare_to_oracle
+
+    names = sorted(n for n in REGISTRY if n.startswith("graph_"))
+    assert names, "graph_ family missing from registry"
+    for name in names:
+        spec = REGISTRY[name]
+        assert spec.oracle is not None
+        ok, detail = compare_to_oracle(
+            spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+        )
+        assert ok, f"{name}: {detail}"
+
+
 def test_pagerank_duplicate_edges_collapsed(spark):
     # Edges are a set: duplicates must not double contributions.
     a = _pr(spark, [(1, 2), (2, 1)], iterations=5)

@@ -13,6 +13,7 @@ COVERED_PREFIXES = (
     "text_", "dedup_", "ann_", "corpus_", "vec_",  # tests/test_llm_queries.py
     "stream_",    # tests/test_streaming_queries.py
     "source_",    # tests/test_io_roundtrip.py
+    "graph_",     # tests/test_graph_operators.py
 )
 #: individually tested elsewhere
 EXPLICIT = {
