@@ -50,3 +50,51 @@ def test_connected_components_matches_union_find(spark, edges):
     df = spark.createDataFrame(edges, schema="u long, v long")
     got = {r.node: r.cluster for r in connected_components(df).collect()}
     assert got == _uf(edges)
+
+
+pr_edges_st = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _pr_numpy(edges, damping, iterations):
+    import numpy as np
+
+    edges = sorted(set(edges))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        dm = r[outdeg == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dm / n)
+    return {nodes[i]: r[i] for i in range(n)}
+
+
+@given(edges=pr_edges_st)
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
+    """Random digraphs (self-loops, duplicates, dangling nodes): the
+    distributed power iteration must agree with a sequential NumPy one to
+    float-summation-order tolerance, and ranks must stay a distribution."""
+    from datafusion_parallelism_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    got = {r.node: r["rank"] for r in pagerank(df, iterations=6).collect()}
+    want = _pr_numpy(edges, 0.85, 6)
+    assert got.keys() == want.keys()
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-10
+    assert abs(sum(got.values()) - 1.0) < 1e-10
