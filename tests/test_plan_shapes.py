@@ -290,3 +290,30 @@ def test_pii_redact_is_single_aggregation_no_python(spark, sf_dir):
     plan = physical_plan_str(REGISTRY["corpus_pii_redact"].fn(spark, sf_dir))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_corpus_profile_single_expand_single_exchange(spark, sf_dir):
+    """The per-column profiler must stay ONE aggregation pass: the
+    multi-column COUNT(DISTINCT) set plans as a single Expand feeding one
+    shuffle — per-column scans or extra exchanges would turn a metadata
+    query into column-count full passes at 100 TB."""
+    plan = physical_plan_str(REGISTRY["corpus_profile"].fn(spark, sf_dir))
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    assert plan.count("Exchange") <= 2, plan
+
+
+def test_pagerank_iteration_plan_is_truncated(spark):
+    """localCheckpoint must keep each iteration's plan O(1) deep: the
+    final rank DataFrame's physical plan may reference checkpointed RDDs
+    but not re-derive the full 10-iteration join chain."""
+    from datafusion_parallelism_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], schema="u long, v long"
+    )
+    plan = physical_plan_str(pagerank(edges, iterations=4))
+    assert "Scan ExistingRDD" in plan, plan
+    # One iteration = one edges-ranks join; a non-truncated plan would
+    # contain 4+ joins.
+    assert plan.count("Join") <= 2, plan
