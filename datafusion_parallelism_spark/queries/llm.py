@@ -369,6 +369,110 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINNOW_K = 25  # character k-gram length
+WINNOW_W = 10  # winnowing window (guarantee: shared spans >= K+W-1 = 34 chars)
+WINNOW_T = 8  # min shared fingerprints to report a pair
+
+
+def winnow_fingerprints(
+    d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+) -> DataFrame:
+    """(doc_id, h) winnowing fingerprints: hash every k-char gram of
+    ``text``, keep each w-gram sliding window's MIN hash, distinct per doc.
+    Selection is content-local (never absolute-position-dependent), which
+    is what makes the shared-span guarantee hold across alignments."""
+    grams = (
+        d.filter(F.length("text") >= k)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias(
+                "pos"
+            ),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            _phash(F.expr(f"substring(text, pos, {k})")).alias("h"),
+        )
+    )
+    # Fingerprints = the DISTINCT per-window minima.  (Selecting rows where
+    # h equals the min of the window ANCHORED AT h's own position is the
+    # tempting one-liner but a DIFFERENT rule — it compares a gram only
+    # against its w-1 successors, and the guarantee fails when a smaller
+    # hash sits just past the shared span's edge.  The window-min VALUES
+    # are exactly the selected hash set, no argmin bookkeeping needed.)
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .select("doc_id", F.col("wmin").alias("h"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_winnow_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, pos,
+             {_phash_sql(f"substr(text, pos, {WINNOW_K})")} AS h
+      FROM documents, unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS t(pos)
+      WHERE length(text) >= {WINNOW_K}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin AS h FROM (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM g)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_T}
+    """,
+)
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level duplicated-SPAN detection via winnowing fingerprints
+    (Schleimer et al., SIGMOD 2003 — the MOSS algorithm).  Word-shingle
+    Jaccard (``dedup_ngram_jaccard``) measures whole-document overlap;
+    winnowing catches a long VERBATIM passage pasted between otherwise
+    unrelated documents — license boilerplate, quoted articles, template
+    wrappers — the exact-substring dedup need (cf. Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better") without a
+    suffix array.
+
+    Algorithm: hash every K-char gram, slide a W-gram window per document,
+    keep each window's MIN hash as a fingerprint.  Selection depends only
+    on local content, never on absolute position, so any shared substring
+    of length >= K+W-1 chars selects at least one identical fingerprint in
+    both documents (the winnowing guarantee).  Pairs sharing >= T distinct
+    fingerprints are reported.
+
+    Scale: O(total_chars) gram rows through ONE shuffle (window partitioned
+    by doc_id); density ~2/(W+1) fingerprints per char, so the inverted
+    fingerprint index is ~5x smaller than the gram table before the blocked
+    self-join (same Σ df(h)² cost shape + AQE skew-split mitigation as the
+    shingle index).  No Python in the plan: substring/md5/conv are codegen
+    expressions and the window min is a single WindowExec."""
+    d = _docs_spread(spark, sf_dir)
+    fp = winnow_fingerprints(d)
+    n_part = spark.sparkContext.defaultParallelism
+    # The self-join consumes fp twice and Spark has no cross-branch CSE:
+    # without a checkpoint the explode (~K-gram fan-out) + per-doc window
+    # sort — the two heaviest stages — would execute twice.  Same pattern
+    # as the MinHash band join above.
+    fp = fp.repartition(n_part, "h").localCheckpoint(eager=False)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= WINNOW_T)
+    )
+
+
 def _minhash_sigs(d: DataFrame) -> DataFrame:
     """doc_id + m0..m{N_PERMS-1} MinHash signature columns, computed with
     ZERO shuffles: ONE Arrow-batched pandas UDF goes text → shingle set →
