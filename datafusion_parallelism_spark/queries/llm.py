@@ -2735,3 +2735,198 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
         "(col_name, n_present, n_nulls, n_distinct, min_s, max_s, avg_len)"
     )
+
+
+# --------------------------------------------------------------------------
+# Semantic k-means clustering (SemDeDup-style corpus organization)
+# --------------------------------------------------------------------------
+
+_KM_K = 8      # clusters
+_KM_ITERS = 2  # deterministic Lloyd iterations
+_KM_RND = 5    # centroid rounding grid (cross-engine fp reproducibility)
+_KM_DIM = 64   # embedding dimensionality (driver corpus)
+
+
+def _kmeans_oracle() -> str:
+    """Unrolled-CTE Lloyd chain (same recipe as the PQ codebook trainer,
+    but over FULL vectors in long (vec_id, i, x) format): normalize, seed
+    centroids from the _KM_K smallest vec_ids, then per iteration assign
+    every vector to its nearest centroid (squared L2 rounded to 1e-4
+    before the argmin, ties to smallest cid) and replace each centroid
+    with the rounded member mean (empty clusters keep their centroid)."""
+    sql = f"""
+    WITH normed AS (
+      SELECT vec_id, list_transform(dv, x -> x / nrm) AS emb
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS dv,
+                   sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                                y -> y * y))) AS nrm
+            FROM embeddings)
+    ),
+    dims AS (
+      SELECT vec_id, i, emb[i] AS x
+      FROM normed, unnest(generate_series(1, {_KM_DIM})) t(i)
+    ),
+    cent0 AS (
+      SELECT t.vec_id AS cid, d.i, d.x AS c
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {_KM_K}) t
+      JOIN dims d ON d.vec_id = t.vec_id
+    )"""
+    prev = "cent0"
+    for t in range(_KM_ITERS):
+        sql += f""",
+    a{t} AS (
+      SELECT d.vec_id, c.cid, ROUND(SUM((d.x - c.c) * (d.x - c.c)), 4) AS d2
+      FROM dims d JOIN {prev} c ON d.i = c.i
+      GROUP BY 1, 2
+    ),
+    g{t} AS (
+      SELECT vec_id, MIN(struct_pack(d2 := d2, cid := cid)) AS m
+      FROM a{t} GROUP BY 1
+    ),
+    asg{t} AS (SELECT vec_id, (m).cid AS cid FROM g{t}),
+    m{t} AS (
+      SELECT s.cid, d.i, ROUND(AVG(d.x), {_KM_RND}) AS c
+      FROM asg{t} s JOIN dims d ON d.vec_id = s.vec_id
+      GROUP BY 1, 2
+    ),
+    cent{t + 1} AS (
+      SELECT p.cid, p.i, COALESCE(u.c, p.c) AS c
+      FROM {prev} p LEFT JOIN m{t} u ON u.cid = p.cid AND u.i = p.i
+    )"""
+        prev = f"cent{t + 1}"
+    sql += f""",
+    fin AS (
+      SELECT d.vec_id, c.cid, ROUND(SUM((d.x - c.c) * (d.x - c.c)), 4) AS d2
+      FROM dims d JOIN {prev} c ON d.i = c.i
+      GROUP BY 1, 2
+    ),
+    gf AS (
+      SELECT vec_id, MIN(struct_pack(d2 := d2, cid := cid)) AS m
+      FROM fin GROUP BY 1
+    ),
+    km AS (SELECT vec_id, (m).cid AS cluster_id, (m).d2 AS d2 FROM gf)"""
+    return sql
+
+
+_KM_ORACLE_CTE = _kmeans_oracle()
+
+
+def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, i, x): every L2-normalized vector in long format — the
+    shape that lets centroid updates be plain partial-aggregated GROUP BYs
+    and distances be broadcast-join + SUM (never a per-row HOF fold whose
+    summation order could differ from the oracle's)."""
+    vecs = load(spark, sf_dir, "embeddings")
+    vd = as_double(F.col("embedding"))
+    normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
+        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
+    )
+    return normed.select(
+        "vec_id", F.posexplode("emb").alias("i0", "x")
+    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+
+
+def _km_assign(dims: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, cid): nearest-centroid assignment — broadcast the K·D
+    centroid table, squared-L2 partial-aggregated per (vec_id, cid),
+    rounded to the oracle's 1e-4 grid, argmin with cid tiebreak."""
+    d2 = (F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))
+    return (
+        dims.join(F.broadcast(cent), "i")
+        .groupBy("vec_id", "cid")
+        .agg(F.round(F.sum(d2), 4).alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cid")).alias("m"))
+        .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
+    )
+
+
+def _km_centroids(spark: SparkSession, dims: DataFrame) -> DataFrame:
+    """TRAINED centroid table (cid, i, c): seed from the _KM_K smallest
+    vec_ids, then _KM_ITERS deterministic Lloyd iterations.  The centroid
+    table is a constant-size model artifact (K·D = 512 rows), so each
+    update is collected and re-broadcast — the same legitimate driver
+    materialization as the PQ codebook; at 100 TB training runs on a
+    corpus sample with the identical plan, assignment stays distributed."""
+    seed_ids = dims.select("vec_id").distinct().orderBy("vec_id").limit(_KM_K)
+    cent = (
+        dims.join(F.broadcast(seed_ids), "vec_id")
+        .select(F.col("vec_id").alias("cid"), "i", F.col("x").alias("c"))
+    )
+    schema = "cid long, i int, c double"
+    for _ in range(_KM_ITERS):
+        asg = _km_assign(dims, cent).select("vec_id", "cid")
+        means = (
+            asg.join(dims, "vec_id")
+            .groupBy("cid", "i")
+            .agg(F.round(F.avg("x"), _KM_RND).alias("mc"))
+        )
+        updated = (
+            cent.join(means, ["cid", "i"], "left")
+            .select("cid", "i", F.coalesce("mc", "c").alias("c"))
+            .collect()
+        )
+        cent = spark.createDataFrame(
+            [(r.cid, r.i, r.c) for r in updated], schema=schema
+        )
+    return cent
+
+
+@query(
+    "vec_kmeans_clusters",
+    oracle=f"""
+    {_KM_ORACLE_CTE}
+    SELECT vec_id, cluster_id, d2 FROM km
+    """,
+)
+def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic k-means over the embedding corpus (the clustering step of
+    SemDeDup-style curation, Abbas et al. 2023: organize the corpus into
+    semantic clusters, then dedup/sample WITHIN clusters).  K=8 centroids
+    seeded from the smallest vec_ids, 2 deterministic Lloyd iterations
+    (centroids rounded to 1e-5 per update, distances to 1e-4 before every
+    argmin — both engines compute value-identical models, same contract as
+    the PQ codebook).  Returns every vector's cluster and its squared L2
+    distance to the trained centroid.
+
+    Scale: the centroid table (K·D rows) broadcasts; assignment is one
+    map-side broadcast join + partial-aggregated SUM per vector — the
+    corpus never shuffles on anything wider than vec_id.  Driver traffic
+    is K·D scalars per iteration (model artifact, not data)."""
+    dims = _km_dims(spark, sf_dir)
+    cent = _km_centroids(spark, dims)
+    return _km_assign(dims, cent).select(
+        "vec_id", F.col("cid").alias("cluster_id"), "d2"
+    )
+
+
+@query(
+    "mix_cluster_balanced_sample",
+    oracle=f"""
+    {_KM_ORACLE_CTE},
+    ranked AS (
+      SELECT vec_id, cluster_id,
+             ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM km
+    )
+    SELECT vec_id, cluster_id FROM ranked WHERE rn <= 20
+    """,
+)
+def mix_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: exactly 20 vectors per semantic
+    cluster, chosen by deterministic md5 order within the cluster — the
+    diversity-aware sampling step that follows clustering in SemDeDup-style
+    pipelines (uniform sampling over-represents dense regions; per-cluster
+    quotas flatten that).  Reuses the trained k-means assignment; the
+    per-cluster top-N plans as a partial WindowGroupLimit (rank pushed
+    before the shuffle), so only ~N·K rows survive per partition."""
+    km = vec_kmeans_clusters(spark, sf_dir)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    return (
+        km.select("vec_id", "cluster_id", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 20)
+        .select("vec_id", "cluster_id")
+    )
