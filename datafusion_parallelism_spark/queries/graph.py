@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.graph import pagerank
+from ..operators.graph import pagerank, triangle_counts
 from ..session import load
 from .registry import query
 
@@ -120,4 +120,74 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("kind"),
         ((F.col("node") - F.col("node") % 2) / 2).cast("long").alias("key"),
         F.round("rank", 7).alias("rank_r7"),
+    )
+
+
+_TRI_MIN_SHARED = 2  # orders a part pair must co-occur in to form an edge
+
+_TRIANGLE_ORACLE = f"""
+WITH pu AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+e AS (
+  SELECT a.p AS u, b.p AS v
+  FROM pu a JOIN pu b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TRI_MIN_SHARED}
+),
+deg AS (
+  SELECT n, COUNT(*) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY 1
+),
+o AS (
+  SELECT CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.u ELSE e.v END AS src,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v) THEN e.v ELSE e.u END AS dst,
+         CASE WHEN (du.d, e.u) < (dv.d, e.v)
+              THEN struct_pack(d := dv.d, n := e.v)
+              ELSE struct_pack(d := du.d, n := e.u) END AS kdst
+  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+),
+tri AS (
+  SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+  FROM o e1
+  JOIN o e2 ON e1.src = e2.src AND e1.kdst < e2.kdst
+  JOIN o e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+),
+corners AS (
+  SELECT a AS part FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri
+)
+SELECT part, COUNT(*) AS triangles FROM corners GROUP BY 1
+"""
+
+
+@query("graph_triangle_counts", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts over the part co-purchase graph (parts
+    appearing together in >= 2 orders) — the local-clustering signal
+    behind "frequently bought together" communities, and the third leg of
+    the graph trio (PageRank = authority, connected components = cluster
+    resolution, triangles = cohesion).
+
+    Distributed-skew design (the part that matters at 100 TB): edges are
+    ORIENTED from the lower-(degree, id) endpoint to the higher one before
+    the wedge join, the standard compact-forward trick — every triangle is
+    then generated exactly once, and the wedge fan-out is bounded by
+    Σ outdeg(v)² where max outdeg is O(√m) on any graph, instead of the
+    unbounded hub-degree² a naive undirected join pays.  Wedge building
+    shuffles on src; the closing-edge probe shuffles on (dst-pair) — two
+    hash exchanges, no broadcast of anything graph-sized.  The edge list
+    is consumed three times, so it is checkpointed once."""
+    li = load(spark, sf_dir, "lineitem")
+    pu = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = pu.alias("a"), pu.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _TRI_MIN_SHARED)
+        .select("u", "v")
+    )
+    return triangle_counts(e).select(
+        F.col("node").alias("part"), "triangles"
     )

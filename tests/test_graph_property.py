@@ -98,3 +98,35 @@ def test_pagerank_matches_numpy_on_random_graphs(spark, edges):
     for k in want:
         assert abs(got[k] - want[k]) < 1e-10
     assert abs(sum(got.values()) - 1.0) < 1e-10
+
+
+# ---------------------------------------------------------------------------
+# triangle_counts vs brute-force enumeration
+# ---------------------------------------------------------------------------
+
+from itertools import combinations
+
+from datafusion_parallelism_spark.operators.graph import triangle_counts
+
+
+@given(edges_st)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+def test_triangle_counts_match_bruteforce(spark, edges):
+    # normalize: simple undirected graph, u < v, no self-loops/dups
+    simple = sorted({(min(u, v), max(u, v)) for u, v in edges if u != v})
+    if not simple:
+        return
+    eset = set(simple)
+    nodes = sorted({n for e in simple for n in e})
+    expected = {}
+    for a, b, c in combinations(nodes, 3):
+        if (a, b) in eset and (a, c) in eset and (b, c) in eset:
+            for n in (a, b, c):
+                expected[n] = expected.get(n, 0) + 1
+    df = spark.createDataFrame(simple, "u long, v long")
+    got = {r["node"]: r["triangles"] for r in triangle_counts(df).collect()}
+    assert got == expected
