@@ -2086,3 +2086,81 @@ def events_max_inactivity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_gaps"),
         F.count_if(F.col("gap_s") > 86400).alias("n_day_gaps"),
     )
+
+
+@query(
+    "events_scd2_state_history",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN event_type IS DISTINCT FROM
+                       LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, event_type, ts,
+             SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS g
+      FROM marked
+    ),
+    runs AS (
+      SELECT user_id, event_type AS state, g,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM grp GROUP BY 1, 2, 3
+    )
+    SELECT user_id, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from)
+             AS valid_to,
+           n_events,
+           CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY valid_from) IS NULL
+                THEN 1 ELSE 0 END AS is_current
+    FROM runs
+    """,
+)
+def events_scd2_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an event stream: each
+    user's consecutive same-type runs collapse into validity intervals
+    [valid_from, valid_to) with an open-ended current row — the standard
+    warehouse pattern for reconstructing "what was the state at time T"
+    (change detection via LAG, islands via running change-count, interval
+    close via LEAD).  Differs from sessionize: islands are bounded by
+    STATE CHANGES, not inactivity gaps.
+
+    Scale: ONE shuffle total (plan-verified) — hash(user_id) partitioning
+    satisfies both stacked windows AND the (user_id, state, g) run
+    aggregation (partition key ⊆ group key, so no re-exchange), and the
+    final LEAD window re-sorts in place.  Skewed power users are one
+    partition each — the window sort is the cost, O(events-per-user log)
+    locally."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        "event_id",
+        F.when(
+            ~F.col("event_type").eqNullSafe(F.lag("event_type").over(w)), 1
+        ).otherwise(0).alias("chg"),
+    )
+    grp = marked.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    runs = grp.groupBy("user_id", F.col("event_type").alias("state"), "g").agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    wu = Window.partitionBy("user_id").orderBy("valid_from")
+    lead_from = F.lead("valid_from").over(wu)
+    return runs.select(
+        "user_id",
+        "state",
+        "valid_from",
+        lead_from.alias("valid_to"),
+        "n_events",
+        F.when(lead_from.isNull(), 1).otherwise(0).alias("is_current"),
+    )
