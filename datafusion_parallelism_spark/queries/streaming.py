@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..streaming.events import (
     hourly_counts_stream,
     read_events_stream,
+    run_foreachbatch_upsert,
     run_to_memory,
     session_windows_stream,
     user_running_totals_stream,
@@ -219,3 +220,40 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="append",
     )
     return spark.table("q_stream_enrich")
+
+
+@query(
+    "stream_foreachbatch_upsert",
+    oracle="""
+    SELECT l.user_id, l.ts AS last_ts, l.event_type AS last_event_type,
+           c.n_events
+    FROM (SELECT user_id, ts, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_type DESC) AS rn
+          FROM events) l
+    JOIN (SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY 1) c
+      ON c.user_id = l.user_id
+    WHERE l.rn = 1
+    """,
+)
+def stream_foreachbatch_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch CDC sink: the event stream maintains a per-user
+    serving snapshot (latest event + lifetime count) via an associative
+    parquet merge (streaming/events.py:run_foreachbatch_upsert).  The
+    final snapshot must equal the batch answer regardless of micro-batch
+    boundaries — which is exactly what the oracle asserts."""
+    import hashlib
+    import os
+
+    # PID-isolated staging (the io_roundtrip convention: concurrent runs
+    # over the same sf_dir must not race); left in place for the process
+    # lifetime so the returned DataFrame stays readable lazily — no
+    # driver-side collect of the snapshot.
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    base = f"/tmp/spark_graft_upsert/{os.getpid()}_{key}"
+    target = os.path.join(base, "snapshot")
+    checkpoint = os.path.join(base, "ckpt")
+    run_foreachbatch_upsert(
+        spark, read_events_stream(spark, sf_dir), target, checkpoint
+    )
+    return spark.read.parquet(target)

@@ -323,3 +323,70 @@ def user_stats_tws_stream(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeMode="none",
     )
+
+
+def run_foreachbatch_upsert(
+    spark: SparkSession, events: DataFrame, target_path: str, checkpoint: str
+) -> None:
+    """Stream → maintained snapshot table via ``foreachBatch`` upsert: each
+    micro-batch is reduced to per-user partials (latest (ts, event_type)
+    by struct max + event count) and MERGED into the parquet snapshot at
+    ``target_path`` — the CDC sink pattern for keeping a serving table
+    current from an event stream.
+
+    The merge is associative (max-of-maxes, sum-of-counts), so the final
+    snapshot is independent of micro-batch boundaries — which is what the
+    registered oracle checks.  The read-merge-overwrite here uses an eager
+    localCheckpoint to break the read→overwrite dependency; at production
+    scale this seam is a transactional table format (Delta/Iceberg MERGE),
+    which is not available in this container — the streaming semantics
+    (exactly-once via checkpoint, associative merge) are what is real and
+    tested."""
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        src = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max(F.struct("ts", "event_type")).alias("m"),
+                F.count(F.lit(1)).alias("n_events"),
+            )
+            .select(
+                "user_id",
+                F.col("m.ts").alias("last_ts"),
+                F.col("m.event_type").alias("last_event_type"),
+                "n_events",
+            )
+        )
+        try:
+            tgt = spark.read.parquet(target_path)
+            has_target = True
+        except Exception:
+            has_target = False
+        if has_target:
+            merged = (
+                tgt.unionByName(src)
+                .groupBy("user_id")
+                .agg(
+                    F.max(F.struct("last_ts", "last_event_type")).alias("m"),
+                    F.sum("n_events").alias("n_events"),
+                )
+                .select(
+                    "user_id",
+                    F.col("m.last_ts").alias("last_ts"),
+                    F.col("m.last_event_type").alias("last_event_type"),
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                )
+            )
+        else:
+            merged = src
+        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            target_path
+        )
+
+    q = (
+        events.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -225,3 +225,65 @@ def test_watermark_drops_late_data_across_restarts(spark, tmp_path):
     assert got.get((t0.to_pydatetime(), "a")) == 2  # fresh rows aggregated
     late_win = (t0 - pd.Timedelta(hours=10)).to_pydatetime()
     assert (late_win, "a") not in got, got  # late row dropped
+
+
+def test_foreachbatch_upsert_batch_boundary_independent(spark, sf_dir, tmp_path):
+    """Three staged file copies with maxFilesPerTrigger=1 force 3 micro-
+    batches; the associative merge (max-of-maxes, sum-of-counts) must
+    yield exactly the batch answer over the concatenation, and a second
+    incremental file processed from the SAME checkpoint must add in
+    without reprocessing the old files (exactly-once)."""
+    import os
+    import shutil
+
+    from datafusion_parallelism_spark.streaming.events import (
+        run_foreachbatch_upsert,
+    )
+
+    src = os.path.join(sf_dir, "events.parquet")
+    stage = tmp_path / "in"
+    stage.mkdir()
+    for i in range(3):
+        shutil.copy(src, stage / f"events-{i}.parquet")
+    batch_schema = spark.read.parquet(src).schema
+    target = str(tmp_path / "snapshot")
+    ckpt = str(tmp_path / "ckpt")
+
+    def _stream():
+        s = (
+            spark.readStream.schema(batch_schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(stage))
+        )
+        from pyspark.sql.types import TimestampNTZType
+
+        for field in s.schema.fields:
+            if isinstance(field.dataType, TimestampNTZType):
+                s = s.withColumn(field.name, F.col(field.name).cast("timestamp"))
+        return s
+
+    run_foreachbatch_upsert(spark, _stream(), target, ckpt)
+
+    e = spark.read.parquet(src)
+    expected = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.struct("ts", "event_type")).alias("m"),
+            (F.count(F.lit(1)) * 3).alias("n_events"),
+        )
+        .select(
+            "user_id",
+            F.col("m.ts").cast("timestamp").alias("last_ts"),
+            F.col("m.event_type").alias("last_event_type"),
+            "n_events",
+        )
+    )
+    got = spark.read.parquet(target)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+
+    # incremental: one more file, same checkpoint -> counts become 4x
+    shutil.copy(src, stage / "events-3.parquet")
+    run_foreachbatch_upsert(spark, _stream(), target, ckpt)
+    got2 = spark.read.parquet(target)
+    n_tot = got2.agg(F.sum("n_events")).collect()[0][0]
+    assert n_tot == e.count() * 4
