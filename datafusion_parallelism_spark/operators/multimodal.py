@@ -12,13 +12,14 @@ extension scope (SURVEY §7.6).  Design contract for 100 TB:
   batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``
   so executor memory stays flat regardless of total data size.
 * Two decode paths exist.  ``decode_payload`` is a clearly-marked
-  deterministic fake (np.frombuffer of the md5-derived payload) used by
-  the legacy mm_* feature queries.  ``decode_payload_real`` is REAL:
-  RIFF/WAVE parses through the stdlib ``wave`` codec and 8-bit BMP
-  through the built-in container parser below (PIL/soundfile remain the
-  optional paths for other formats).  The ``mm_audio_wav_features`` /
-  ``mm_image_bmp_stats`` queries drive real container bytes through it
-  end-to-end and hash-match a first-principles DuckDB oracle.
+  deterministic fake (np.frombuffer of the md5-derived payload) kept for
+  ``mm_resize_images``, whose oracle pins the fake's byte order on
+  purpose.  ``decode_payload_real`` is REAL and carries every other
+  decode query: RIFF/WAVE parses through the stdlib ``wave`` codec,
+  8-bit BMP and the VID0 concatenated-frames video container through the
+  built-in parsers below (PIL/soundfile remain the optional paths for
+  other formats).  All mm_* feature queries drive real container bytes
+  through it end-to-end and hash-match a first-principles DuckDB oracle.
 """
 
 from __future__ import annotations
@@ -30,7 +31,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-#: Feature vector layout produced by :func:`image_features`.
+#: Feature vector layout produced by :func:`real_asset_features`.
 N_HIST_BINS = 8
 FEATURE_DIM = 5 + N_HIST_BINS  # mean, std, min, max, median + histogram
 
@@ -38,14 +39,8 @@ RESIZE_W = 16
 RESIZE_H = 16
 FRAME_STRIDE = 2  # keep every 2nd frame
 
-FEATURES_SCHEMA = (
-    "doc_id long, modality string, n_bytes int, features array<double>"
-)
 RESIZE_SCHEMA = (
     "doc_id long, width int, height int, out_width int, out_height int, checksum long"
-)
-FRAMES_SCHEMA = (
-    "doc_id long, frame_idx int, frame_mean double, frame_std double"
 )
 
 
@@ -162,6 +157,13 @@ def decode_payload_real(payload: bytes, modality: str) -> np.ndarray:
             raise NotImplementedError(
                 "non-BMP image decode needs the optional PIL library"
             ) from None
+    if modality == "video":
+        if payload[:4] == VIDEO_MAGIC:
+            return decode_video_frames(payload)
+        raise NotImplementedError(
+            "video decode supports the VID0 concatenated-frames container; "
+            "real codecs (mp4/webm) need optional av/ffmpeg libraries"
+        )
     raise NotImplementedError(f"no real decoder for modality {modality!r}")
 
 
@@ -225,6 +227,42 @@ def encode_bmp_gray8(img: np.ndarray) -> bytes:
     return bytes(out)
 
 
+VIDEO_MAGIC = b"VID0"
+_VIDEO_HEADER = 16  # magic + 3x uint32 (n_frames, height, width)
+
+
+def encode_video_frames(frames: np.ndarray) -> bytes:
+    """Encode an (n_frames, h, w) uint8 stack as a VID0 container: a
+    16-byte header (magic, n, h, w as little-endian uint32) followed by
+    the raw frames concatenated in order.  A deliberately trivial but
+    REAL container format — the decoder must validate the magic, read the
+    dimensions from the header (not from side-channel metadata) and check
+    the payload length, exactly like a production demuxer would."""
+    import struct
+
+    n, h, w = frames.shape
+    return struct.pack("<4sIII", VIDEO_MAGIC, n, h, w) + frames.astype(
+        np.uint8
+    ).tobytes()
+
+
+def decode_video_frames(payload: bytes) -> np.ndarray:
+    """Parse a VID0 container back to its (n_frames, h, w) uint8 stack."""
+    import struct
+
+    magic, n, h, w = struct.unpack_from("<4sIII", payload, 0)
+    if magic != VIDEO_MAGIC:
+        raise ValueError("not a VID0 payload")
+    if len(payload) != _VIDEO_HEADER + n * h * w:
+        raise ValueError(
+            f"VID0 length mismatch: header says {n}x{h}x{w}, "
+            f"payload has {len(payload) - _VIDEO_HEADER} frame bytes"
+        )
+    return np.frombuffer(
+        payload, dtype=np.uint8, count=n * h * w, offset=_VIDEO_HEADER
+    ).reshape(n, h, w)
+
+
 def decode_bmp_gray8(payload: bytes) -> np.ndarray:
     """Parse an 8-bit-palette BMP back to a 2-D uint8 array — a real
     container parse: header validation, data-offset indirection, bottom-up
@@ -249,38 +287,6 @@ def decode_bmp_gray8(payload: bytes) -> np.ndarray:
 # --------------------------------------------------------------------------
 # mapInPandas operators
 # --------------------------------------------------------------------------
-def image_features(assets: DataFrame) -> DataFrame:
-    """Per-asset feature vector (mean/std/min/max/median + 8-bin histogram
-    of the decoded buffer) via Arrow-batched mapInPandas.
-
-    Narrow stage: no shuffle; each task decodes only its partition's
-    payloads batch by batch."""
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, modality, payload in zip(
-                pdf["doc_id"], pdf["modality"], pdf["payload"]
-            ):
-                buf = decode_payload(bytes(payload)).astype(np.float64)
-                hist, _ = np.histogram(buf, bins=N_HIST_BINS, range=(0, 256))
-                feats = [
-                    float(buf.mean()),
-                    float(buf.std()),
-                    float(buf.min()),
-                    float(buf.max()),
-                    float(np.median(buf)),
-                ] + (hist / max(len(buf), 1)).tolist()
-                rows.append((int(doc_id), modality, len(buf), feats))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "modality", "n_bytes", "features"]
-            )
-
-    return assets.select("doc_id", "modality", "payload").mapInPandas(
-        compute, schema=FEATURES_SCHEMA
-    )
-
-
 def resize_images(assets: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_H) -> DataFrame:
     """Nearest-neighbor resize of image assets to (out_w, out_h) — real
     numpy index arithmetic on the decoded buffer; returns new dims + a
@@ -306,58 +312,8 @@ def resize_images(assets: DataFrame, out_w: int = RESIZE_W, out_h: int = RESIZE_
     return images.mapInPandas(compute, schema=RESIZE_SCHEMA)
 
 
-def sample_frames(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
-    """Frame sampling for video assets: decode → (n_frames, h, w) → keep
-    every ``stride``-th frame → one output row per kept frame with frame
-    stats.  Row-expanding mapInPandas (1 video → ⌈n/stride⌉ rows)."""
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                w, h, n = int(meta["width"]), int(meta["height"]), int(meta["n_frames"])
-                vid = decode_payload(bytes(payload)).reshape(n, h, w).astype(np.float64)
-                for idx in range(0, n, stride):
-                    frame = vid[idx]
-                    rows.append(
-                        (int(doc_id), idx, float(frame.mean()), float(frame.std()))
-                    )
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "frame_idx", "frame_mean", "frame_std"]
-            )
-
-    videos = assets.filter(F.col("modality") == "video")
-    return videos.mapInPandas(compute, schema=FRAMES_SCHEMA)
-
-
 AUDIO_SCHEMA = "doc_id long, window_idx int, rms double, zero_crossings int"
 AUDIO_WINDOW = 256  # samples per analysis window
-
-
-def audio_features(assets: DataFrame, window: int = AUDIO_WINDOW) -> DataFrame:
-    """Windowed audio analysis for audio assets: the decoded sample buffer
-    is split into fixed windows and each yields RMS energy + zero-crossing
-    count (computed on the mean-centered signal) — one output row per
-    window (row-expanding mapInPandas, like frame sampling for video)."""
-
-    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = decode_payload(bytes(payload)).astype(np.float64)
-                centered = buf - buf.mean()
-                n_win = len(buf) // window
-                for i in range(n_win):
-                    w = centered[i * window : (i + 1) * window]
-                    rms = float(np.sqrt(np.mean(w * w)))
-                    zc = int(np.sum(np.signbit(w[:-1]) != np.signbit(w[1:])))
-                    rows.append((int(doc_id), i, rms, zc))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "window_idx", "rms", "zero_crossings"]
-            )
-
-    audio = assets.filter(F.col("modality") == "audio")
-    return audio.select("doc_id", "payload").mapInPandas(compute, schema=AUDIO_SCHEMA)
 
 
 # --------------------------------------------------------------------------
@@ -458,6 +414,151 @@ BMP_STATS_SCHEMA = (
     "doc_id long, width int, height int, px_sum long, px_min int, px_max int, "
     "px_mean double"
 )
+
+
+#: Sawtooth half of the real-codec audio family.  Periods are chosen to
+#: divide every buffer length (n_samples is always a multiple of 500 and
+#: 20|50|100 all divide 500), so the whole-buffer mean is EXACTLY zero —
+#: the decoded signal equals its own mean-centered form and every
+#: analysis reduction below is an integer sum, making the SQL oracle's
+#: floats bit-identical (no tolerance needed).  Values are odd integers
+#: (2*(i%P) - (P-1) with even P), so a centered sample is never 0 and
+#: zero-crossing semantics can't diverge on sign-of-zero.
+SAW_PERIODS = (20, 50, 100)
+
+
+def synth_sawtooth_wave(doc_id: int) -> np.ndarray:
+    """Deterministic odd-valued sawtooth: period P = SAW_PERIODS[doc_id%3],
+    s(i) = 2*(i mod P) - (P-1), length 1000 + (doc_id%9)*500 (the legacy
+    audio meta n_samples, so window counts stay contract-compatible)."""
+    p = SAW_PERIODS[doc_id % 3]
+    n = 1000 + (doc_id % 9) * 500
+    idx = np.arange(n)
+    return (2 * (idx % p) - (p - 1)).astype(np.int16)
+
+
+def synth_video_frames(doc_id: int) -> np.ndarray:
+    """Deterministic video test stack matching the legacy asset meta
+    (16x16, n_frames = 8 + doc_id%9): pixel(f,y,x) = (x*7 + y*13 + f*29
+    + doc_id) % 256."""
+    n = 8 + doc_id % 9
+    f = np.arange(n)[:, None, None]
+    y = np.arange(16)[None, :, None]
+    x = np.arange(16)[None, None, :]
+    return ((x * 7 + y * 13 + f * 29 + doc_id) % 256).astype(np.uint8)
+
+
+def build_saw_wav_assets(documents: DataFrame) -> DataFrame:
+    """Audio-modality docs -> (doc_id, payload) where payload is a REAL
+    RIFF/WAVE container of the doc's sawtooth signal."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_wav(synth_sawtooth_wave(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    audio = documents.filter(F.col("doc_id") % 3 == 1).select("doc_id")
+    return audio.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+def build_video_assets(documents: DataFrame) -> DataFrame:
+    """Video-modality docs -> (doc_id, payload) where payload is a REAL
+    VID0 concatenated-frames container of the doc's synthetic stack."""
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (int(doc_id), encode_video_frames(synth_video_frames(int(doc_id))))
+                for doc_id in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    videos = documents.filter(F.col("doc_id") % 3 == 2).select("doc_id")
+    return videos.mapInPandas(encode, schema="doc_id long, payload binary")
+
+
+REAL_FEATURES_SCHEMA = (
+    "doc_id long, modality string, n_values int, features array<double>"
+)
+
+
+def real_asset_features(assets: DataFrame) -> DataFrame:
+    """Per-asset 13-dim feature vector over REAL container payloads:
+    decode via :func:`decode_payload_real` (BMP / WAV / VID0 parsers),
+    then mean, std, min, max, median + 8-bin histogram fractions over the
+    decoded value stream.
+
+    Float-parity contract with the SQL oracle: every reduction is either
+    an integer sum (order-insensitive, exact in float64) or an identical
+    scalar IEEE expression on both sides — std is computed as
+    sqrt(E[x^2] - E[x]^2) explicitly, NOT np.std, so DuckDB's
+    sqrt(avg(v*v) - avg(v)*avg(v)) produces the bit-identical double."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, modality, payload in zip(
+                pdf["doc_id"], pdf["modality"], pdf["payload"]
+            ):
+                buf = (
+                    decode_payload_real(bytes(payload), modality)
+                    .astype(np.float64)
+                    .ravel()
+                )
+                n = len(buf)
+                m = float(buf.sum()) / n
+                ex2 = float((buf * buf).sum()) / n
+                hist, _ = np.histogram(buf, bins=N_HIST_BINS, range=(0, 256))
+                feats = [
+                    m,
+                    math.sqrt(ex2 - m * m),
+                    float(buf.min()),
+                    float(buf.max()),
+                    float(np.median(buf)),
+                ] + (hist / n).tolist()
+                rows.append((int(doc_id), modality, n, feats))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "modality", "n_values", "features"]
+            )
+
+    return assets.select("doc_id", "modality", "payload").mapInPandas(
+        compute, schema=REAL_FEATURES_SCHEMA
+    )
+
+
+VIDEO_FRAME_SCHEMA = "doc_id long, frame_idx int, frame_mean double, frame_std double"
+
+
+def video_frame_sample(assets: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Every-``stride``-th-frame sampling over REAL VID0 containers: one
+    output row per kept frame with per-frame mean + std (std via the same
+    explicit sqrt(E[x^2]-E[x]^2) float-parity form as the oracle; frames
+    are 16x16 = 256 pixels, so both divisions are exact)."""
+
+    def compute(batches: Iterator[pd.DataFrame]) -> Iterable[pd.DataFrame]:
+        import math
+
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                vid = decode_payload_real(bytes(payload), "video").astype(np.float64)
+                n = vid.shape[0]
+                npx = vid.shape[1] * vid.shape[2]
+                for idx in range(0, n, stride):
+                    frame = vid[idx]
+                    m = float(frame.sum()) / npx
+                    ex2 = float((frame * frame).sum()) / npx
+                    rows.append((int(doc_id), idx, m, math.sqrt(ex2 - m * m)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_mean", "frame_std"]
+            )
+
+    return assets.mapInPandas(compute, schema=VIDEO_FRAME_SCHEMA)
 
 
 def bmp_pixel_stats(assets: DataFrame) -> DataFrame:

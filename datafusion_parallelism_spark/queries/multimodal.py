@@ -2,16 +2,17 @@
 
 ``mm_assets_summary`` proves the JVM-side asset construction (binary
 payload + typed metadata) bit-for-bit against DuckDB (md5 of the payload
-blob is part of the compared result).  The decode / resize / frame-sample
-stages run numpy inside Arrow-batched ``mapInPandas`` — not expressible in
-SQL, so they register ``oracle=None`` (driver records rows-only checks) and
-their determinism is pinned by tests/test_multimodal.py instead.
+blob is part of the compared result).
 
-``mm_audio_wav_features`` / ``mm_image_bmp_stats`` (bottom of this file)
-close the real-codec gap: REAL WAV/BMP container bytes flow through REAL
-parsers (stdlib ``wave``; built-in BMP parse) and the result hash-matches
-a DuckDB oracle that regenerates the synthetic signal from first
-principles.
+Every decode query runs REAL container bytes through REAL parsers
+(RIFF/WAVE via the stdlib ``wave`` codec, 8-bit BMP and the VID0
+concatenated-frames container via the built-in parsers in
+operators/multimodal.py) and hash-matches a DuckDB oracle that
+regenerates the synthetic signal from first principles — an encode or
+decode bug (byte order, row padding, header arithmetic) breaks the
+match.  The synthetic signals are engineered for EXACT float parity
+(integer-valued sums + explicit sqrt(E[x^2]-E[x]^2) std on both sides),
+so no tolerance is needed anywhere.
 """
 
 from __future__ import annotations
@@ -21,9 +22,11 @@ from pyspark.sql import functions as F
 
 from ..operators.multimodal import (
     build_assets,
-    image_features,
+    build_bmp_assets,
+    build_saw_wav_assets,
+    build_video_assets,
+    real_asset_features,
     resize_images,
-    sample_frames,
 )
 from ..session import load
 from .registry import query
@@ -76,14 +79,81 @@ def mm_assets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mm_image_features", oracle=None)
+#: Shared oracle fragment: the decoded value stream of every REAL-codec
+#: asset, regenerated from first principles (pixel/sample formulas are
+#: pure doc_id arithmetic).  image = BMP gradient card, audio = WAV
+#: sawtooth (period divides every buffer length, so mean is exactly 0),
+#: video = VID0 16x16 frame stack.
+_REAL_VALUES_SQL = """
+    WITH img_px AS (
+      SELECT doc_id, CAST((xx.x * 7 + yy.y * 13 + doc_id) % 256 AS DOUBLE) AS v
+      FROM (SELECT doc_id, 8 + doc_id % 8 AS w, 8 + doc_id % 4 AS h
+            FROM documents WHERE doc_id % 3 = 0) i,
+           UNNEST(range(0, h)) AS yy(y), UNNEST(range(0, w)) AS xx(x)
+    ),
+    aud_px AS (
+      SELECT doc_id, CAST(2 * (i.i % p) - (p - 1) AS DOUBLE) AS v
+      FROM (SELECT doc_id,
+                   CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 50 ELSE 100 END AS p,
+                   1000 + (doc_id % 9) * 500 AS n
+            FROM documents WHERE doc_id % 3 = 1) a,
+           UNNEST(range(0, n)) AS i(i)
+    ),
+    vid_px AS (
+      SELECT doc_id,
+             CAST((xx.x * 7 + yy.y * 13 + ff.f * 29 + doc_id) % 256 AS DOUBLE) AS v
+      FROM (SELECT doc_id, 8 + doc_id % 9 AS n FROM documents WHERE doc_id % 3 = 2) vv,
+           UNNEST(range(0, n)) AS ff(f),
+           UNNEST(range(0, 16)) AS yy(y), UNNEST(range(0, 16)) AS xx(x)
+    ),
+    allpx AS (
+      SELECT doc_id, 'image' AS modality, v FROM img_px
+      UNION ALL SELECT doc_id, 'audio' AS modality, v FROM aud_px
+      UNION ALL SELECT doc_id, 'video' AS modality, v FROM vid_px
+    )
+"""
+
+_HIST_BINS_SQL = ", ".join(
+    "CAST(SUM(CASE WHEN v >= {lo} AND v < {hi} THEN 1 ELSE 0 END) AS DOUBLE)"
+    " / COUNT(*)".format(lo=b * 32, hi=(b + 1) * 32)
+    for b in range(8)
+)
+
+
+@query(
+    "mm_image_features",
+    oracle=_REAL_VALUES_SQL
+    + f"""
+    SELECT doc_id, modality, CAST(COUNT(*) AS INT) AS n_values,
+           list_value(
+             avg(v),
+             sqrt(avg(v * v) - avg(v) * avg(v)),
+             min(v), max(v), median(v),
+             {_HIST_BINS_SQL}
+           ) AS features
+    FROM allpx GROUP BY doc_id, modality
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode + feature-extract over every asset via Arrow-batched
-    mapInPandas (13-dim vector: 5 moments + 8-bin histogram).  Non-SQL
-    (numpy in the loop) → rows-only driver check; determinism pinned in
-    tests."""
-    assets = build_assets(load(spark, sf_dir, "documents"))
-    return image_features(assets)
+    mapInPandas (13-dim vector: 5 moments + 8-bin histogram fractions) —
+    REAL containers in (BMP / RIFF-WAVE / VID0), REAL parsers in the loop
+    (decode_payload_real).
+
+    FULL ORACLE (migrated from rows-only in r4): the synthetic signals
+    are pure doc_id arithmetic, so DuckDB regenerates every decoded value
+    with UNNEST(range(...)) and recomputes the 13 features.  Float parity
+    is exact by construction: every reduction is an integer sum, std is
+    the explicit sqrt(E[x^2]-E[x]^2) on both sides, and histogram
+    fractions are the identical int/int division."""
+    docs = load(spark, sf_dir, "documents")
+    assets = (
+        build_bmp_assets(docs)
+        .withColumn("modality", F.lit("image"))
+        .unionByName(build_saw_wav_assets(docs).withColumn("modality", F.lit("audio")))
+        .unionByName(build_video_assets(docs).withColumn("modality", F.lit("video")))
+    )
+    return real_asset_features(assets)
 
 
 @query(
@@ -132,22 +202,81 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resize_images(assets)
 
 
-@query("mm_frame_sample", oracle=None)
+@query(
+    "mm_frame_sample",
+    oracle="""
+    WITH vids AS (
+      SELECT doc_id, 8 + doc_id % 9 AS n FROM documents WHERE doc_id % 3 = 2
+    ),
+    px AS (
+      SELECT doc_id, ff.f AS frame_idx,
+             CAST((xx.x * 7 + yy.y * 13 + ff.f * 29 + doc_id) % 256 AS DOUBLE) AS v
+      FROM vids, UNNEST(range(0, n)) AS ff(f),
+           UNNEST(range(0, 16)) AS yy(y), UNNEST(range(0, 16)) AS xx(x)
+      WHERE ff.f % 2 = 0
+    )
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           avg(v) AS frame_mean,
+           sqrt(avg(v * v) - avg(v) * avg(v)) AS frame_std
+    FROM px GROUP BY doc_id, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Every-2nd-frame sampling of video assets — row-expanding
-    mapInPandas (one row per kept frame with per-frame stats)."""
-    assets = build_assets(load(spark, sf_dir, "documents"))
-    return sample_frames(assets)
+    """Every-2nd-frame sampling of video assets — REAL VID0 containers
+    decoded by a real parser (header magic/dims/length validation), one
+    output row per kept frame with per-frame mean + std.
+
+    FULL ORACLE (migrated from rows-only in r4): frames are 16x16, so
+    both avg divisions are exact (/256) and std uses the explicit
+    sqrt(E[x^2]-E[x]^2) form on both sides — bit-identical doubles."""
+    from ..operators.multimodal import build_video_assets, video_frame_sample
+
+    docs = load(spark, sf_dir, "documents")
+    return video_frame_sample(build_video_assets(docs))
 
 
-@query("mm_audio_features", oracle=None)
+@query(
+    "mm_audio_features",
+    oracle="""
+    WITH audio AS (
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 20 WHEN 1 THEN 50 ELSE 100 END AS p,
+             1000 + (doc_id % 9) * 500 AS n
+      FROM documents WHERE doc_id % 3 = 1
+    ),
+    samples AS (
+      SELECT doc_id, i.i AS i, CAST(i.i // 256 AS INT) AS window_idx,
+             CAST(2 * (i.i % p) - (p - 1) AS DOUBLE) AS v
+      FROM audio, UNNEST(range(0, 256 * (n // 256))) AS i(i)
+    ),
+    lagged AS (
+      SELECT doc_id, window_idx, v,
+             lag(v) OVER (PARTITION BY doc_id, window_idx ORDER BY i) AS pv
+      FROM samples
+    )
+    SELECT doc_id, window_idx,
+           sqrt(avg(v * v)) AS rms,
+           CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+                         THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+    FROM lagged GROUP BY doc_id, window_idx
+    """,
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Windowed RMS + zero-crossing analysis of audio assets (256-sample
-    windows, row-expanding mapInPandas)."""
-    from ..operators.multimodal import audio_features
+    windows, row-expanding mapInPandas) — REAL RIFF/WAVE containers of a
+    sawtooth signal, decoded by the stdlib ``wave`` codec.
 
-    assets = build_assets(load(spark, sf_dir, "documents"))
-    return audio_features(assets)
+    FULL ORACLE (migrated from rows-only in r4): the sawtooth period
+    divides every buffer length, so the whole-buffer mean is exactly 0
+    and the mean-centered window IS the integer signal — rms is
+    sqrt(avg of exact integer squares) on both sides (bit-identical) and
+    samples are odd (never zero), so zero-crossing sign semantics cannot
+    diverge.  The oracle's lag() reproduces the within-window
+    signbit(w[:-1]) != signbit(w[1:]) pairing exactly."""
+    from ..operators.multimodal import build_saw_wav_assets, wav_window_features
+
+    docs = load(spark, sf_dir, "documents")
+    return wav_window_features(build_saw_wav_assets(docs))
 
 
 # --------------------------------------------------------------------------

@@ -29,13 +29,14 @@ def test_asset_payload_length_matches_meta(spark, sf_dir):
 
 def test_image_features_schema_and_dim(spark, sf_dir):
     df = REGISTRY["mm_image_features"].fn(spark, sf_dir)
-    assert df.columns == ["doc_id", "modality", "n_bytes", "features"]
+    assert df.columns == ["doc_id", "modality", "n_values", "features"]
     rows = df.collect()
     n_docs = load(spark, sf_dir, "documents").count()
     assert len(rows) == n_docs  # one feature row per asset
     for r in rows[:20]:
         assert len(r.features) == FEATURE_DIM
-        assert 0.0 <= r.features[0] <= 255.0  # mean of uint8 buffer
+        # mean: uint8 pixels for image/video, zero-mean sawtooth for audio
+        assert 0.0 <= r.features[0] <= 255.0
 
 
 def test_image_features_deterministic(spark, sf_dir):
@@ -190,6 +191,78 @@ def test_bmp_query_matches_oracle(spark, sf_dir_oracle):
 
 def test_resize_query_matches_oracle(spark, sf_dir_oracle):
     spec = REGISTRY["mm_resize_images"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
+
+
+def test_vid0_roundtrip_exact():
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import (
+        decode_payload_real,
+        encode_video_frames,
+        synth_video_frames,
+    )
+
+    frames = synth_video_frames(17)
+    payload = encode_video_frames(frames)
+    assert payload[:4] == b"VID0"
+    got = decode_payload_real(payload, "video")
+    assert got.shape == frames.shape
+    assert np.array_equal(got, frames)
+
+
+def test_vid0_rejects_truncated_payload():
+    import pytest
+
+    from datafusion_parallelism_spark.operators.multimodal import (
+        decode_video_frames,
+        encode_video_frames,
+        synth_video_frames,
+    )
+
+    payload = encode_video_frames(synth_video_frames(3))
+    with pytest.raises(ValueError, match="length mismatch"):
+        decode_video_frames(payload[:-10])
+
+
+def test_sawtooth_exact_zero_mean():
+    """The float-parity contract of the migrated audio oracle: the
+    whole-buffer mean is exactly 0 (period divides length) and every
+    sample is odd (never zero after centering)."""
+    import numpy as np
+
+    from datafusion_parallelism_spark.operators.multimodal import synth_sawtooth_wave
+
+    for doc_id in (1, 4, 7, 10, 25, 100):
+        buf = synth_sawtooth_wave(doc_id).astype(np.float64)
+        assert buf.sum() == 0.0
+        assert np.all(buf.astype(np.int64) % 2 != 0)
+
+
+# The three queries migrated off the fake decoder in round 4 — each now
+# hash-matches a first-principles oracle (exact float parity, see the
+# query docstrings).
+def test_migrated_features_query_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_image_features"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
+
+
+def test_migrated_frame_sample_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_frame_sample"]
+    ok, detail = compare_to_oracle(
+        spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
+    )
+    assert ok, detail
+
+
+def test_migrated_audio_features_matches_oracle(spark, sf_dir_oracle):
+    spec = REGISTRY["mm_audio_features"]
     ok, detail = compare_to_oracle(
         spark, spec.fn(spark, sf_dir_oracle), spec.oracle, sf_dir_oracle
     )

@@ -21,6 +21,9 @@ EXPLICIT = {
     "mm_audio_wav_features",    # tests/test_multimodal.py (real WAV codec)
     "mm_image_bmp_stats",       # tests/test_multimodal.py (real BMP codec)
     "mm_resize_images",         # tests/test_multimodal.py (checksum oracle)
+    "mm_image_features",        # tests/test_multimodal.py (migrated r4: real codecs)
+    "mm_frame_sample",          # tests/test_multimodal.py (migrated r4: VID0 codec)
+    "mm_audio_features",        # tests/test_multimodal.py (migrated r4: WAV sawtooth)
     "events_asof_last_click",   # tests/test_asof_join.py (also events_ sweep)
     "events_interval_first6h",  # tests/test_interval_join.py (also events_ sweep)
 }
