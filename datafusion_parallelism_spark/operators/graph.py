@@ -154,69 +154,105 @@ def pagerank(
 
     where D is the total rank mass sitting on dangling nodes (outdeg 0),
     redistributed uniformly — the standard strongly-preferential handling,
-    which preserves the probability-distribution invariant.
+    which preserves the probability-distribution invariant.  D is computed
+    by MASS CONSERVATION, not a second pass over ranks: every node with
+    out-edges distributes exactly its rank (Σ_v contrib(v) = Σ_{outdeg>0}
+    rank(u)) and Σ rank = 1 is invariant, so D = 1 - Σ_v contrib(v) — an
+    O(N)-row re-aggregation of the already-materialized contribution
+    table instead of an anti-join over the rank vector (fp drift vs the
+    direct sum is ~1e-15/iteration, far under the 1e-7 oracle rounding).
 
-    Scale posture: edges are normalized ONCE into (src, dst, 1/outdeg) and
-    lineage-truncated; each iteration is one shuffled join edges⋈ranks +
-    one map-side-combined SUM per dst, all distributed.  The dangling mass
-    stays in a 1-row DataFrame cross-broadcast onto the update — no
-    per-iteration driver collect; the only driver scalar is N (one count).
-    localCheckpoint per iteration keeps plans O(1) deep.
+    Scale posture: edges are normalized ONCE into (src, dst, 1/outdeg),
+    REPARTITIONED BY src and lineage-truncated — localCheckpoint preserves
+    the hash partitioning in its LogicalRDD, so the per-iteration join
+    edges⋈ranks never re-exchanges the (large) edge side.  nodes is
+    likewise pinned on node, and every rank/contrib table in the loop
+    inherits node-partitioning from it, which leaves exactly ONE exchange
+    per iteration: the map-side-combined contribution SUM moving mass from
+    src- to dst-partitioning (information-theoretically required).  The
+    dangling mass stays in a 1-row DataFrame cross-broadcast onto the
+    update — no per-iteration driver collect; the only driver scalar is N
+    (one count).
     """
     u, v = edges.columns[:2]
+    spark = edges.sparkSession
     e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).distinct()
     if checkpoint:
         e = e.localCheckpoint(eager=True)
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-    )
-    if checkpoint:
-        nodes = nodes.localCheckpoint(eager=True)
-    n = nodes.count()
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # Pre-normalized edge weights: contribution of u to v is rank(u) * w
-    # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
-    # cross-engine drift reduces to SUM order alone.
-    e_norm = e.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-    )
-    if checkpoint:
-        e_norm = e_norm.localCheckpoint(eager=True)
-    has_out = outdeg.select(F.col("src").alias("node"))
-    if checkpoint:
-        has_out = has_out.localCheckpoint(eager=True)
-
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    for _ in range(iterations):
-        contrib = (
-            e_norm.join(ranks, e_norm["src"] == ranks["node"])
-            .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        dangling = ranks.join(has_out, "node", "left_anti").agg(
-            F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
-        )
-        new_ranks = (
-            nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("dm") / F.lit(float(n))
-                    )
-                ).alias("rank"),
-            )
+    m = e.count()
+    # Iteration-state partition sizing: the rank/contribution tables are
+    # O(nodes) rows, often orders of magnitude smaller than the session's
+    # shuffle-partition conf is tuned for (which follows the INPUT size).
+    # Running every per-iteration stage at conf width means
+    # iterations x conf near-empty tasks of pure scheduling overhead —
+    # measured 2x the whole query wall at sf0.1 (32 -> 4 partitions took
+    # 8.1 s to 3.9 s).  One partition per ~50k state rows, floor 4,
+    # ceiling at the session conf (at real scale this is a no-op).
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(4, min(conf_parts, -(-m // 50_000)))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
         )
         if checkpoint:
-            new_ranks = new_ranks.localCheckpoint(eager=True)
-        ranks = new_ranks
+            nodes = nodes.repartition(parts, "node").localCheckpoint(eager=True)
+        n = nodes.count()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        # Pre-normalized edge weights: contribution of u to v is rank(u)
+        # * w with w = 1/outdeg(u).  1/k is the same IEEE double in any
+        # engine, so cross-engine drift reduces to SUM order alone.
+        e_norm = e.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+        )
+        if checkpoint:
+            e_norm = e_norm.repartition(parts, "src").localCheckpoint(eager=True)
+
+        # Loop shape: the ONLY materialization per iteration is the
+        # contribution table (eager checkpoint = one job).  The rank
+        # vector itself stays a SHALLOW LAZY view over the materialized
+        # contribs (nodes ⋈ contrib + broadcast dangling mass): it is
+        # consumed exactly once (next iteration's contribution join), and
+        # because contrib_i is an RDD both of its consumers (the dm
+        # re-aggregation and the join) read the materialized rows —
+        # nothing in the loop is ever computed twice, and plans stay O(1)
+        # deep without checkpointing ranks at all.  With nodes/e_norm
+        # pinned on (node)/(src) at `parts` width, the only exchange per
+        # iteration is the contribution sum moving mass from src- to
+        # dst-partitioning.
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+        for _ in range(iterations):
+            contrib = (
+                e_norm.join(ranks, e_norm["src"] == ranks["node"])
+                .select("dst", (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            if checkpoint:
+                contrib = contrib.localCheckpoint(eager=True)
+            dangling = contrib.agg(
+                (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
+            )
+            ranks = (
+                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "node",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (
+                            F.coalesce(F.col("contrib"), F.lit(0.0))
+                            + F.col("dm") / F.lit(float(n))
+                        )
+                    ).alias("rank"),
+                )
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     return ranks
 
 

@@ -1291,16 +1291,65 @@ def mix_source_proportions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("mix_stratified_sample", oracle=None)
+#: CASE expression mirroring MIX_WEIGHTS in SQL.  repr() of a Python float
+#: round-trips the exact double; CAST defeats DuckDB's parse-decimals-as-
+#: DECIMAL default so both engines do the identical IEEE arithmetic.
+_MIX_WEIGHT_SQL = (
+    "CASE source "
+    + " ".join(
+        f"WHEN '{s}' THEN CAST({w!r} AS DOUBLE)" for s, w in MIX_WEIGHTS.items()
+    )
+    + " ELSE CAST(0.0 AS DOUBLE) END"
+)
+
+
+@query(
+    "mix_stratified_sample",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    bands AS (
+      SELECT source, n,
+             least(CAST(1.0 AS DOUBLE),
+                   {_MIX_WEIGHT_SQL} * (CAST(0.1 AS DOUBLE)
+                     * (SELECT SUM(n) FROM counts)) / n) AS keep_frac
+      FROM counts
+    ),
+    stats AS (
+      SELECT source, n, n * keep_frac AS mean,
+             sqrt((n * keep_frac) * (CAST(1.0 AS DOUBLE) - keep_frac)) AS sd
+      FROM bands
+    )
+    SELECT source, n AS n_source,
+           CAST(floor(mean - 6 * sd - 5) AS BIGINT) AS sampled_lo,
+           CAST(ceil(mean + 6 * sd + 5) AS BIGINT) AS sampled_hi,
+           TRUE AS in_band
+    FROM stats
+    """,
+)
 def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stratified Bernoulli sample implementing the MIX_WEIGHTS recipe:
     per-source keep-fractions proportional to weight/current-share (capped
     at 1), applied as a seeded rand() filter under a broadcast join of the
-    per-source fraction table.  Sampling decisions are engine-internal RNG
-    → no cross-engine oracle; tests pin per-source proportions within
-    binomial tolerance and seed-determinism.  Scale: one tiny grouped agg
-    (≈|sources| rows, broadcast back) + a map-side filter — no corpus
-    shuffle and no driver data movement."""
+    per-source fraction table.
+
+    ORACLE CONTRACT (promoted from rows-only in r4): individual sampling
+    decisions are engine-internal RNG, so instead of the sample itself
+    the registered result is the per-source BINOMIAL-TOLERANCE VERDICT —
+    (source, n_source, sampled_lo, sampled_hi, in_band) where the band is
+    mean ± (6·sd + 5) of Binomial(n, keep_frac) and in_band is whether
+    the realized per-source sample count landed inside it.  Both engines
+    compute lo/hi with the identical IEEE expression tree (exact column
+    match) and the oracle asserts in_band = TRUE — a biased or broken
+    sampler (dropped stratum, wrong fraction, non-uniform rand) leaves
+    the band and fails the driver's hash compare, so the gate now
+    checks sampler BEHAVIOR, not just row-shape.  P(false alarm) per
+    source < 2e-9 at 6 sigma; the +5 absolute slack covers tiny strata
+    where sd rounds to a few rows.
+
+    Scale: two tiny grouped aggs (≈|sources| rows, broadcast back) + a
+    map-side filter — no corpus shuffle and no driver data movement."""
     d = load(spark, sf_dir, "documents")
     # Keep-fractions computed DISTRIBUTEDLY (a ~20-row aggregate that
     # broadcasts back onto the corpus) — no driver collect: at 100 TB the
@@ -1317,14 +1366,31 @@ def mix_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the uniform driver corpus, so the realized mix matches the recipe.
     fracs = counts.crossJoin(F.broadcast(total)).select(
         "source",
+        F.col("n"),
         F.least(
             F.lit(1.0), weight * (0.1 * F.col("total")) / F.col("n")
         ).alias("keep_frac"),
     )
-    sampled = d.join(F.broadcast(fracs), "source").filter(
+    sampled = d.join(F.broadcast(fracs.select("source", "keep_frac")), "source").filter(
         F.rand(42) < F.col("keep_frac")
     )
-    return sampled.select("doc_id", "source")
+    k = sampled.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    mean = F.col("n") * F.col("keep_frac")
+    sd = F.sqrt((F.col("n") * F.col("keep_frac")) * (F.lit(1.0) - F.col("keep_frac")))
+    return (
+        fracs.join(k, "source", "left")
+        .withColumn("k", F.coalesce(F.col("k"), F.lit(0)))
+        .select(
+            "source",
+            F.col("n").alias("n_source"),
+            F.floor(mean - 6 * sd - 5).alias("sampled_lo"),
+            F.ceil(mean + 6 * sd + 5).alias("sampled_hi"),
+            (
+                (F.col("k") >= F.floor(mean - 6 * sd - 5))
+                & (F.col("k") <= F.ceil(mean + 6 * sd + 5))
+            ).alias("in_band"),
+        )
+    )
 
 
 # ==========================================================================
@@ -2362,24 +2428,52 @@ def _pq_train_sql() -> str:
 _PQ_DISTS_SQL = _pq_train_sql()
 
 
-def _pq_subv(vecs: DataFrame, spark: SparkSession) -> DataFrame:
+def _normalized_cols(vecs: DataFrame) -> DataFrame:
+    """(vec_id, v0, nrm): raw double vector + its L2 norm, with the
+    repartition acting as an OPTIMIZER BARRIER as well as the vec_id
+    partitioning the training loops need.
+
+    The barrier is load-bearing: without it, CollapseProject merges the
+    norm projection into whatever downstream per-element expression
+    references it (``transform(v0, x -> x/nrm)``), and the D-element
+    interpreted fold re-evaluates PER ELEMENT — O(D²) per row instead of
+    O(D), measured 10x on the embeddings normalize (0.74 s -> 0.08 s at
+    sf0.1).  Post-exchange, ``nrm`` is a plain attribute.  Downstream
+    code divides individual elements (element_at(v0, i) / nrm), which is
+    the identical IEEE value transform would produce."""
+    vd = as_double(F.col("embedding"))
+    return vecs.select(
+        "vec_id", vd.alias("v0"), norm(vd).alias("nrm")
+    ).repartition("vec_id")
+
+
+def _pq_subv(
+    vecs: DataFrame, spark: SparkSession, checkpoint: bool = True
+) -> DataFrame:
     """(vec_id, j, e1, e2): every L2-NORMALIZED vector split into its M
     2-dim subvectors (cosine-PQ: unit vectors make squared-L2 rank like
-    cosine).  The norm is projected ONCE per vector; the M-way explode is
-    a broadcast cross join — a pure map over the corpus."""
-    vd = as_double(F.col("embedding"))
-    normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
-        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
-    )
+    cosine).  The norm is computed ONCE per vector (_normalized_cols
+    barrier); the M-way explode is a broadcast cross join — a pure map
+    over the corpus."""
+    pre = _normalized_cols(vecs)
     js = spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
     idx1 = (F.col("j") * _PQ_D + 1).cast("int")
     idx2 = (F.col("j") * _PQ_D + 2).cast("int")
-    return normed.crossJoin(F.broadcast(js)).select(
+    subv = pre.crossJoin(F.broadcast(js)).select(
         "vec_id",
         "j",
-        F.element_at("emb", idx1).alias("e1"),
-        F.element_at("emb", idx2).alias("e2"),
+        (F.element_at("v0", idx1) / F.col("nrm")).alias("e1"),
+        (F.element_at("v0", idx2) / F.col("nrm")).alias("e2"),
     )
+    # One corpus shuffle total (the barrier repartition): vec_id
+    # partitioning is preserved through the broadcast cross join and
+    # localCheckpoint, so every training iteration's groupBy(vec_id, j)
+    # argmin runs exchange-free (same posture as _km_dims).
+    # checkpoint=False exposes the pre-checkpoint plan (tests assert scan
+    # pruning on it; the checkpointed plan has no visible file scan).
+    if not checkpoint:
+        return subv
+    return subv.localCheckpoint(eager=True)
 
 
 def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
@@ -2398,16 +2492,28 @@ def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
         d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
             F.col("e2") - F.col("a2")
         ) * (F.col("e2") - F.col("a2"))
+        # The subvector coordinates ride through the argmin inside the
+        # struct (they are constant per (vec_id, j) group and (d2, aid) is
+        # unique, so they never influence the lexicographic min) — this
+        # removes the assign⋈subv join a naive two-step update would pay,
+        # leaving ONE exchange-free corpus agg (vec_id partitioning from
+        # _pq_subv's checkpoint) + one tiny post-combine shuffle of M·K
+        # partials per iteration.
         assign = (
             subv.join(F.broadcast(anch), "j")
-            .select("vec_id", "j", "aid", d2.alias("d2"))
+            .select("vec_id", "j", "aid", d2.alias("d2"), "e1", "e2")
             .groupBy("vec_id", "j")
-            .agg(F.min(F.struct("d2", "aid")).alias("s"))
-            .select("vec_id", "j", F.col("s.aid").alias("code"))
+            .agg(F.min(F.struct("d2", "aid", "e1", "e2")).alias("s"))
+            .select(
+                "vec_id",
+                "j",
+                F.col("s.aid").alias("code"),
+                F.col("s.e1").alias("e1"),
+                F.col("s.e2").alias("e2"),
+            )
         )
         means = (
-            assign.join(subv, ["vec_id", "j"])
-            .groupBy("j", F.col("code").alias("aid"))
+            assign.groupBy("j", F.col("code").alias("aid"))
             .agg(
                 F.round(F.avg("e1"), _PQ_ROUND).alias("m1"),
                 F.round(F.avg("e2"), _PQ_ROUND).alias("m2"),
@@ -2434,23 +2540,15 @@ def _pq_dists(spark: SparkSession, vecs: DataFrame) -> DataFrame:
     never shuffles.  Differences are squared by multiplication (not
     power()) so both engines run the identical fp ops."""
     subv = _pq_subv(vecs, spark)
-    js = spark.range(_PQ_M).select(F.col("id").cast("int").alias("j"))
-    vd = as_double(F.col("embedding"))
-    normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
-        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
-    )
-    idx1 = (F.col("j") * _PQ_D + 1).cast("int")
-    idx2 = (F.col("j") * _PQ_D + 2).cast("int")
-    seed = (
-        normed.orderBy("vec_id")
-        .limit(_PQ_K)
-        .crossJoin(F.broadcast(js))
-        .select(
-            "j",
-            F.col("vec_id").alias("aid"),
-            F.element_at("emb", idx1).alias("a1"),
-            F.element_at("emb", idx2).alias("a2"),
-        )
+    # Seed anchors = the subvectors of the _PQ_K smallest vec_ids, read
+    # straight from the materialized subvector table (no second
+    # scan/normalize pass; the values are identical by construction).
+    seed_ids = subv.select("vec_id").distinct().orderBy("vec_id").limit(_PQ_K)
+    seed = subv.join(F.broadcast(seed_ids), "vec_id").select(
+        "j",
+        F.col("vec_id").alias("aid"),
+        F.col("e1").alias("a1"),
+        F.col("e2").alias("a2"),
     )
     anch = _pq_trained_anchors(spark, subv, seed)
     d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
@@ -2815,15 +2913,23 @@ def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(vec_id, i, x): every L2-normalized vector in long format — the
     shape that lets centroid updates be plain partial-aggregated GROUP BYs
     and distances be broadcast-join + SUM (never a per-row HOF fold whose
-    summation order could differ from the oracle's)."""
-    vecs = load(spark, sf_dir, "embeddings")
-    vd = as_double(F.col("embedding"))
-    normed = vecs.select("vec_id", vd.alias("v0"), norm(vd).alias("nrm")).select(
-        "vec_id", F.transform("v0", lambda x: x / F.col("nrm")).alias("emb")
+    summation order could differ from the oracle's).
+
+    The table is repartitioned by vec_id and lineage-truncated ONCE:
+    localCheckpoint preserves the hash partitioning, so every training
+    iteration's groupBy(vec_id, ...) argmin and the asg⋈dims means join
+    are exchange-free — the corpus is read, normalized and shuffled
+    exactly one time no matter how many Lloyd iterations follow (the
+    standard cache-the-training-set posture of iterative ML on Spark)."""
+    pre = _normalized_cols(load(spark, sf_dir, "embeddings"))
+    dims = pre.select("vec_id", "nrm", F.posexplode("v0").alias("i0", "x")).select(
+        "vec_id",
+        (F.col("i0") + 1).alias("i"),
+        (F.col("x") / F.col("nrm")).alias("x"),
     )
-    return normed.select(
-        "vec_id", F.posexplode("emb").alias("i0", "x")
-    ).select("vec_id", (F.col("i0") + 1).alias("i"), "x")
+    # vec_id partitioning flows from _normalized_cols' barrier through the
+    # (narrow) generator into the checkpoint — no second shuffle.
+    return dims.localCheckpoint(eager=True)
 
 
 def _km_assign(dims: DataFrame, cent: DataFrame) -> DataFrame:

@@ -266,10 +266,16 @@ def test_pq_codebook_broadcasts_and_scan_prunes(spark, sf_dir):
     """vec_pq_codes: the trained codebook must reach the corpus via
     broadcast (never an exchange of the vector side before the partial
     aggregations), and the embeddings scan must read only the two used
-    columns."""
+    columns.  Since r4 the subvector table is checkpointed (its scan runs
+    once at build time), so column pruning is asserted on the
+    pre-checkpoint subvector plan where the file scan is still visible."""
     plan = physical_plan_str(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
     assert "BroadcastExchange" in plan
-    schemas = read_schemas(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
+    from datafusion_parallelism_spark.queries.llm import _pq_subv
+    from datafusion_parallelism_spark.session import load
+
+    subv = _pq_subv(load(spark, sf_dir, "embeddings"), spark, checkpoint=False)
+    schemas = read_schemas(subv)
     assert any("vec_id" in s and "embedding" in s for s in schemas), schemas
 
 
