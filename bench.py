@@ -96,6 +96,9 @@ EXTENDED = [
     "ann_pq_topk",
 ]
 
+#: Full headline set (scripts/scale_sweep.py sweeps this list).
+HEADLINE = CORE15 + EXTENDED
+
 PASSES = 5
 DUCKDB_RUNS = 3
 
