@@ -55,7 +55,9 @@ P = 2_147_483_647  # 2^31 - 1
 N_PERMS = 16
 BAND_ROWS = 4  # 4 bands x 4 rows
 PERMS = [((2 * i + 1) * 1_000_003 % P, (i * 7_919 + 104_729) % P) for i in range(N_PERMS)]
-SIMHASH_BITS = 32
+SIMHASH_BITS = 60   # full _phash width (15 hex chars); was 32 until r4
+SIMHASH_BLOCK_BITS = 15  # 4 pigeonhole blocks of 15 bits (hamming <= 3)
+SIMHASH_HAMMING = 3
 
 JACCARD_THRESHOLD = 0.8  # driver corpus plants ~0.99-jaccard near-dup pairs
 COSINE_THRESHOLD = 0.45  # embeddings are clustered but not duplicated
@@ -259,9 +261,39 @@ def _shingle_table(d: DataFrame) -> DataFrame:
     return _doc_shingles(d).select("doc_id", F.explode("shingles").alias("s"))
 
 
+def _blocked_shingle_index(d: DataFrame, n_part: int) -> DataFrame:
+    """Pair-join-ready inverted shingle index: repartitioned by shingle
+    (co-partitions both self-join aliases) with stop-shingles above
+    SHINGLE_DF_CEILING removed.  The df filter is a window COUNT over the
+    same s-partitioning the join needs — zero extra exchanges."""
+    sh = _shingle_table(d).repartition(n_part, "s")
+    return (
+        sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
+        .filter(F.col("df") <= SHINGLE_DF_CEILING)
+        .select("doc_id", "s")
+    )
+
+
+#: Stop-shingle document-frequency ceiling for the pair self-joins.  The
+#: inverted-index join costs Σ df(s)² over shingles; a boilerplate shingle
+#: appearing in df documents alone contributes df² pairs, so without a
+#: ceiling the corpus-wide cost grows super-linearly as common templates
+#: accumulate (measured: dedup_ngram_jaccard 33 s at x16 -> 314 s at x64,
+#: 9.5x for 4x data).  Shingles above the ceiling are excluded from PAIR
+#: GENERATION only (set sizes in the denominators stay exact); this is the
+#: classic stop-shingle rule — an ultra-common shingle carries no near-dup
+#: signal, exactly like a stopword in retrieval.  Mirrored in the oracles,
+#: so the semantics are pinned cross-engine at every scale.
+SHINGLE_DF_CEILING = 256
+
 _SHINGLE_CTE = f"""
     sh AS (
       SELECT DISTINCT doc_id, unnest({_SHINGLES_SQL}) AS s FROM documents
+    ),
+    shf AS (
+      SELECT doc_id, s FROM (
+        SELECT doc_id, s, COUNT(*) OVER (PARTITION BY s) AS df FROM sh
+      ) WHERE df <= {SHINGLE_DF_CEILING}
     ),
     cnt AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
 """
@@ -273,7 +305,7 @@ _SHINGLE_CTE = f"""
     WITH {_SHINGLE_CTE},
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -290,7 +322,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocked on the shingle value, so cost is Σ df(s)² over shingles, not
     |docs|²; hot shingles are the skew risk and AQE's skew-join split is
     the mitigation (reference analog: work-stealing repartition, SURVEY
-    A22)."""
+    A22).  Shingles with df > SHINGLE_DF_CEILING are excluded from pair
+    generation (stop-shingle rule, mirrored in the oracle): without the
+    ceiling the Σ df² cost grows super-linearly as common boilerplate
+    accumulates — measured 33 s at x16 -> 314 s at x64 before the cap."""
     d = _docs_spread(spark, sf_dir)
     # Explode fan-out (~50 shingles/doc) makes the bytes-proportional
     # shuffle-partition default too low for the self-join; repartition by
@@ -302,7 +337,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 49.6 → 45.5 s at 16×; +input spread → 33.1 s, vs DuckDB
     # 45.9 s for the identical algorithm).
     n_part = spark.sparkContext.defaultParallelism
-    sh = _shingle_table(d).repartition(n_part, "s")
+    sh = _blocked_shingle_index(d, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -326,7 +361,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH {_SHINGLE_CTE},
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.s = b.s AND a.doc_id < b.doc_id
       GROUP BY 1, 2
     )
     SELECT doc_a, doc_b,
@@ -345,13 +380,14 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     wrappers, chunked re-posts) in corpus curation.
 
     Same inverted-shingle-index plan as ``dedup_ngram_jaccard`` (blocked
-    self-join on the shingle value, map-side-combined pair counts), only
-    the final scoring expression differs — at 100 TB both queries share the
-    Σ df(s)² cost profile and the AQE skew-split mitigation for hot
-    shingles."""
+    self-join on the shingle value, map-side-combined pair counts,
+    SHINGLE_DF_CEILING stop-shingle cap), only the final scoring
+    expression differs — at 100 TB both queries share the Σ df(s)² cost
+    profile, the stop-shingle ceiling, and the AQE skew-split mitigation
+    for hot shingles."""
     d = _docs_spread(spark, sf_dir)
     n_part = spark.sparkContext.defaultParallelism
-    sh = _shingle_table(d).repartition(n_part, "s")
+    sh = _blocked_shingle_index(d, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -657,7 +693,7 @@ def _simhash_sql_bits() -> str:
     sig = " + ".join(f"(CASE WHEN s{b} >= 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))
     return f"""
     th AS (
-      SELECT doc_id, {_phash_sql('t')} % {P} AS h
+      SELECT doc_id, {_phash_sql('t')} AS h
       FROM (SELECT doc_id, unnest({_TOKS_SQL}) AS t FROM documents)
     ),
     bitsums AS (SELECT doc_id, {sums} FROM th GROUP BY doc_id),
@@ -666,10 +702,13 @@ def _simhash_sql_bits() -> str:
 
 
 def _simhash(d: DataFrame) -> DataFrame:
-    """(doc_id, simhash): 32-bit SimHash over token-frequency-weighted
-    bit votes — one explode + one aggregation."""
+    """(doc_id, simhash): 60-bit SimHash over token-frequency-weighted
+    bit votes (the full _phash width) — one explode + one aggregation.
+    Widened from 32 bits in r4 so the pair-join blocks can be 15 bits
+    wide: random-pair block collisions drop 128x (see dedup_simhash_pairs),
+    which is what keeps candidate generation linear-ish at corpus scale."""
     th = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("t")).select(
-        "doc_id", (_phash(F.col("t")) % P).alias("h")
+        "doc_id", _phash(F.col("t")).alias("h")
     )
     sums = [
         F.sum(
@@ -703,32 +742,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_simhash_pairs",
     oracle=f"""
     WITH {_simhash_sql_bits()},
-    bytes AS (
+    blocks AS (
       {" UNION ALL ".join(
-          f"SELECT doc_id, simhash, {k} AS bk, (simhash >> {8 * k}) & 255 AS bv FROM simhashes"
-          for k in range(4)
+          f"SELECT doc_id, simhash, {k} AS bk,"
+          f" (simhash >> {SIMHASH_BLOCK_BITS * k}) & {(1 << SIMHASH_BLOCK_BITS) - 1} AS bv"
+          " FROM simhashes"
+          for k in range(SIMHASH_HAMMING + 1)
       )}
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sim_a,
                       b.doc_id AS doc_b, b.simhash AS sim_b
-      FROM bytes a JOIN bytes b
+      FROM blocks a JOIN blocks b
         ON a.bk = b.bk AND a.bv = b.bv AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b)) AS hamming
     FROM cand
-    WHERE bit_count(xor(sim_a, sim_b)) <= 3
+    WHERE bit_count(xor(sim_a, sim_b)) <= {SIMHASH_HAMMING}
     """,
 )
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs with hamming distance ≤ 3, blocked by the
-    pigeonhole trick: split the 32-bit signature into 4 bytes; a pair
-    differing in ≤ 3 bits cannot touch all 4 bytes, so it shares at least
-    one exact byte and meets in that (byte index, byte value) bucket —
-    never all pairs, and provably no missed pairs.  (A higher threshold
-    needs more blocks: detecting hamming ≤ h requires h+1 blocks.)"""
+    pigeonhole trick: split the 60-bit signature into 4 blocks of 15
+    bits; a pair differing in ≤ 3 bits cannot touch all 4 blocks, so it
+    shares at least one exact block and meets in that (block index,
+    block value) bucket — never all pairs, and provably no missed pairs.
+    (A higher threshold needs more blocks: hamming ≤ h requires h+1.)
+
+    Block width is the scale lever: with the old 8-bit blocks two RANDOM
+    documents collided in some block with p ≈ 4/256, making candidate
+    generation O(n²/64) — measured 70 s at x64 (1.3M docs) with the
+    quadratic stream dominating.  15-bit blocks cut random collisions
+    128x while keeping the same no-missed-pairs guarantee."""
     sigs = _simhash(_docs_spread(spark, sf_dir))
-    bytes_df = sigs.select(
+    mask = (1 << SIMHASH_BLOCK_BITS) - 1
+    blocks_df = sigs.select(
         "doc_id",
         "simhash",
         F.explode(
@@ -736,14 +784,16 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(k).alias("bk"),
-                        F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(255).alias("bv"),
+                        F.shiftright(F.col("simhash"), SIMHASH_BLOCK_BITS * k)
+                        .bitwiseAND(mask)
+                        .alias("bv"),
                     )
-                    for k in range(4)
+                    for k in range(SIMHASH_HAMMING + 1)
                 ]
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.bk", "b.bv")
-    a, b = bytes_df.alias("a"), bytes_df.alias("b")
+    a, b = blocks_df.alias("a"), blocks_df.alias("b")
     cand = (
         a.join(
             b,
@@ -761,7 +811,7 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("doc_a", "doc_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= 3
+        F.col("hamming") <= SIMHASH_HAMMING
     )
 
 
