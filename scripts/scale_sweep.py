@@ -139,8 +139,13 @@ def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
 
 
 def spark_wall(sf_dir: str) -> dict:
-    """Run bench.py against sf_dir in a fresh subprocess; parse its JSON."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    """Run bench.py against sf_dir in a fresh subprocess; parse its JSON.
+
+    SPARK_GRAFT_NO_DUCKDB=1: the sweep measures DuckDB itself (duckdb_wall
+    below, which supports SWEEP_DUCKDB_SKIP for oracles already established
+    super-linear) — bench.py's embedded same-window DuckDB pass would run
+    every oracle unskipped, which at GB factors means hours."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_DUCKDB="1")
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
