@@ -55,6 +55,7 @@ def connected_components(
     iteration excluded) — observability for the log-diameter guarantee.
     """
     u, v = edges.columns[:2]
+    spark = edges.sparkSession
     und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
         edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
     ).distinct()
@@ -64,60 +65,78 @@ def connected_components(
         # (e.g. MinHash-LSH candidate generation) re-executes per iteration.
         und = und.localCheckpoint(eager=True)
 
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "cluster", F.col("node")
-    )
-    if checkpoint:
-        labels = labels.localCheckpoint(eager=True)
-    prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+    # Iteration-state partition sizing (same rationale as pagerank): the
+    # label table is O(nodes) rows; running every per-iteration stage at
+    # the input-tuned shuffle width burns scheduling overhead on empty
+    # tasks when the dup graph is small.  One partition per ~50k edge
+    # rows, floor 4, ceiling the session conf (no-op at real scale).
+    m = und.count()
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = max(4, min(conf_parts, -(-m // 50_000)))
+    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        if checkpoint:
+            und = und.repartition(parts, "dst").localCheckpoint(eager=True)
 
-    converged = False
-    iterations = 0
-    # max_iter + 1: detecting convergence costs one extra (no-change)
-    # iteration, so the usable propagation budget stays a full max_iter.
-    for _ in range(max_iter + 1):
-        neighbor_min = (
-            und.join(labels, und["dst"] == labels["node"])
-            .groupBy("src")
-            .agg(F.min("cluster").alias("nmin"))
+        labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+            "cluster", F.col("node")
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
-            .select(
-                "node",
-                F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias(
-                    "cluster"
-                ),
-            )
-        )
-        # Pointer jumping ×2: cluster <- cluster's cluster.  Every label IS
-        # a node id of the same component (initial l(x)=x; propagation and
-        # jumping both pick labels of component members), so the self-join
-        # always finds the row; coalesce guards the left join anyway.
-        # l(l(u)) <= l(u) because l is monotone (<= identity), so the sum
-        # still decreases monotonically and equality remains a fixpoint
-        # test.  Two jumps per round ~4x chain compression at the cost of
-        # two cheap co-partitioned joins.
-        for _ in range(2):
-            parents = new_labels.select(
-                F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
+        if checkpoint:
+            labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
+        prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
+
+        converged = False
+        iterations = 0
+        # max_iter + 1: detecting convergence costs one extra (no-change)
+        # iteration, so the usable propagation budget stays a full max_iter.
+        for _ in range(max_iter + 1):
+            neighbor_min = (
+                und.join(labels, und["dst"] == labels["node"])
+                .groupBy("src")
+                .agg(F.min("cluster").alias("nmin"))
             )
             new_labels = (
-                new_labels.join(parents, new_labels["cluster"] == parents["p_node"], "left")
+                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
                 .select(
                     "node",
-                    F.coalesce(F.col("p_cluster"), F.col("cluster")).alias("cluster"),
+                    F.least(
+                        F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                    ).alias("cluster"),
                 )
             )
-        if checkpoint:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            converged = True
-            break
-        iterations += 1
-        prev_sum = new_sum
+            # Pointer jumping ×2: cluster <- cluster's cluster.  Every label
+            # IS a node id of the same component (initial l(x)=x; propagation
+            # and jumping both pick labels of component members), so the
+            # self-join always finds the row; coalesce guards the left join
+            # anyway.  l(l(u)) <= l(u) because l is monotone (<= identity),
+            # so the sum still decreases monotonically and equality remains a
+            # fixpoint test.  Two jumps per round ~4x chain compression at
+            # the cost of two cheap co-partitioned joins.
+            for _ in range(2):
+                parents = new_labels.select(
+                    F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
+                )
+                new_labels = (
+                    new_labels.join(
+                        parents, new_labels["cluster"] == parents["p_node"], "left"
+                    )
+                    .select(
+                        "node",
+                        F.coalesce(F.col("p_cluster"), F.col("cluster")).alias("cluster"),
+                    )
+                )
+            if checkpoint:
+                new_labels = new_labels.localCheckpoint(eager=True)
+            new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
+            labels = new_labels
+            if new_sum == prev_sum:
+                converged = True
+                break
+            iterations += 1
+            prev_sum = new_sum
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
     if stats is not None:
         stats["iterations"] = iterations
     if not converged:

@@ -180,6 +180,12 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
     }
     con = duckdb.connect()
     con.sql(f"SET threads = {os.environ.get('SPARK_GRAFT_CPUS', '32')}")
+    # Cap DuckDB's spill: an oracle whose intermediate explodes at a GB
+    # factor must fail ITS measurement (recorded as an error), not fill
+    # the disk and kill the whole sweep (observed: 78 GB of temp from one
+    # x4 oracle).
+    con.sql("SET temp_directory = '/tmp/duckdb_sweep_tmp'")
+    con.sql("SET max_temp_directory_size = '20GB'")
     for t in list(OFFSETS) + list(FIXED_TABLES):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -192,11 +198,17 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
         if oracle is None:
             continue
         best = float("inf")
-        for _ in range(passes):
-            t0 = time.perf_counter()
-            con.sql(oracle).fetchall()
-            best = min(best, time.perf_counter() - t0)
+        try:
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                con.sql(oracle).fetchall()
+                best = min(best, time.perf_counter() - t0)
+        except Exception as exc:  # noqa: BLE001 — record, keep sweeping
+            times[f"{name}__error"] = str(exc)[:120]  # type: ignore[assignment]
+            print(f"  duckdb {name}: ERROR {str(exc)[:120]}", flush=True)
+            continue
         times[name] = round(best, 3)
+        print(f"  duckdb {name}: {best:.2f}s", flush=True)
     return times
 
 
@@ -224,7 +236,9 @@ def main() -> None:
             "factor": f,
             "input_mb": size_mb,
             "spark_wall_s": spark["value"],
-            "duckdb_wall_s": round(sum(duck.values()), 3),
+            "duckdb_wall_s": round(
+                sum(v for v in duck.values() if isinstance(v, (int, float))), 3
+            ),
             "spark_queries": spark["queries"],
             "duckdb_queries": duck,
         }
