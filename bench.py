@@ -45,6 +45,19 @@ Measurement protocol (reference parity, fixed in round 4):
   query's oracle SQL runs 3 times warm on a thread-matched DuckDB
   connection and the best wall is recorded (DuckDB's walls include its
   planning, as does ours).  Skippable with SPARK_GRAFT_NO_DUCKDB=1.
+* Field caveat: ``queries_plan`` times the build function ``fn(spark,
+  sf_dir)``, which for ITERATIVE queries (pagerank, connected
+  components, k-means/PQ training) performs eager work — counts,
+  localCheckpoints, the whole training loop — so nearly their entire
+  wall lands in ``queries_plan`` and ``queries_exec`` only times the
+  final lazy stage.  The headline ``queries`` (= plan+exec) is
+  unaffected; read the split as build/collect for those queries.
+
+Driver contract (fixed in round 5): the stdout JSON line is kept COMPACT
+(metric/value/unit/queries/sf/ratio — ~1 KB) because the driver's tail
+capture truncated the ~4 KB round-4 line and recorded ``parsed: null``.
+The full detail (exec/plan split, minima, outliers, per-query DuckDB
+walls) is written to ``docs/bench_full_last.json`` instead.
 
 The CORE15 list is the round-1-3 fixed set (kept so per-round totals stay
 comparable); EXTENDED adds one representative per capability family that
@@ -235,11 +248,19 @@ def main() -> None:
     total = round(sum(means.values()), 3)
     dd_ok = duckdb_walls and "_error" not in duckdb_walls
     dd_total = round(sum(duckdb_walls.values()), 3) if dd_ok else None
+    # Compact stdout line (driver contract — must stay well under the
+    # driver's tail-capture window; BENCH_r04 was recorded parsed:null
+    # because the full-detail line grew past it).  Everything else goes
+    # to docs/bench_full_last.json.
     out = {
         "metric": "headline_corpus_wall",
         "value": total,
         "unit": "sec",
         "queries": means,
+        "sf": sf_val,
+    }
+    detail = {
+        **out,
         "queries_exec": means_exec,
         "queries_plan": means_plan,
         "queries_min": mins,
@@ -248,17 +269,35 @@ def main() -> None:
         "passes": PASSES,
         "protocol": "fresh-plan-per-pass (plan+exec timed, ref tpc/src/main.rs:328-340)",
         "from_memory": from_memory,
-        "sf": sf_val,
     }
     if dd_ok:
-        out["duckdb_queries"] = duckdb_walls
-        out["duckdb_total"] = dd_total
+        detail["duckdb_queries"] = duckdb_walls
+        detail["duckdb_total"] = dd_total
         covered = [n for n in names if n in duckdb_walls]
         spark_covered = sum(means[n] for n in covered)
-        out["ratio_vs_duckdb"] = round(spark_covered / max(dd_total, 1e-9), 2)
+        ratio = round(spark_covered / max(dd_total, 1e-9), 2)
+        out["duckdb_total"] = dd_total
+        out["ratio_vs_duckdb"] = ratio
+        out["value_core15"] = detail["value_core15"]
+        core_cov = [n for n in covered if n in CORE15]
+        dd_core = sum(duckdb_walls[n] for n in core_cov)
+        out["ratio_core15"] = detail["ratio_core15"] = round(
+            sum(means[n] for n in core_cov) / max(dd_core, 1e-9), 2
+        )
+        detail["ratio_vs_duckdb"] = ratio
     elif duckdb_walls:
-        out["duckdb_error"] = duckdb_walls.get("_error")
-    print(json.dumps(out))
+        out["duckdb_error"] = detail["duckdb_error"] = duckdb_walls.get("_error")
+    try:
+        os.makedirs("docs", exist_ok=True)
+        with open("docs/bench_full_last.json", "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass  # detail record is best-effort; the contract line is not
+    line = json.dumps(out)
+    if len(line) > 2000:  # hard guard on the driver contract
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -24,17 +24,62 @@ diameter at 100 TB can be thousands.  Jumping compresses label chains
 geometrically: a 1000-node path converges in <= 8 iterations (pinned in
 tests/test_graph_operators.py) instead of 999.
 
-Scale posture: each iteration is one shuffled join edges⋈labels + one
-aggregation — all distributed; the driver only compares two scalar sums
-per iteration.  Lineage is truncated with localCheckpoint every iteration
-so plans stay O(1) deep regardless of iteration count (the standard Spark
-iterative-algorithm hygiene).
+Scale posture: every per-iteration stage is distributed (shuffled joins +
+aggregations); the driver only sees one SCALAR per iteration (the label
+sum / the dangling mass), and since round 5 that scalar rides the
+iteration's single materialization job via ``DataFrame.observe`` — each
+iteration is exactly ONE Spark job, no separate collect/broadcast jobs.
+Lineage is truncated with localCheckpoint every iteration so plans stay
+O(1) deep regardless of iteration count (the standard Spark iterative-
+algorithm hygiene).
+
+Iteration-state width (round 5, replacing the round-4 session-conf flip):
+the loop-state tables are O(nodes) rows, often far smaller than the
+session's shuffle width is tuned for (which follows the INPUT size), and
+the bench session disables AQE coalescing below 256 MB — so without
+sizing, every iteration schedules conf-width near-empty tasks (measured
+2x the whole pagerank wall at sf0.1).  Instead of mutating the session-
+global ``spark.sql.shuffle.partitions`` (unsafe under concurrency: any
+query planned on the shared session inside the window inherits the
+narrowed width — and the final lazy ``ranks`` plan used to execute AFTER
+the conf was restored, defeating the sizing), every state-side shuffle
+point is now explicitly ``repartition(parts, key)``.  The pre-shuffle
+repartition bypasses map-side partial aggregation, so it is applied ONLY
+in the small-state regime (``parts < conf``) where scheduling overhead
+dominates and combine volume is irrelevant; in the big regime
+(``parts == conf``, i.e. real scale) the planner's own conf-width
+exchange with map-side combine is kept.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+#: One shuffle partition per this many iteration-state rows (floor 4,
+#: ceiling the session conf) — the same sizing rule the round-4 conf flip
+#: used, now applied per-shuffle-point.
+_STATE_ROWS_PER_PARTITION = 50_000
+
+
+def _state_parts(m: int, conf_parts: int) -> int:
+    return max(4, min(conf_parts, -(-m // _STATE_ROWS_PER_PARTITION)))
+
+
+def _sized(df: DataFrame, parts: int, conf_parts: int, *keys: str) -> DataFrame:
+    """Pre-size the NEXT shuffle of ``df`` on ``keys``.
+
+    parts < conf (small-state regime): explicit ``repartition(parts,
+    keys)`` — the downstream groupBy/join sees its clustering requirement
+    already satisfied and inserts no further exchange, so the whole stage
+    runs at ``parts`` width instead of session width.  parts == conf (real
+    scale): no-op — the planner's own exchange is the same width AND keeps
+    map-side partial aggregation, which the explicit repartition would
+    bypass.
+    """
+    if parts < conf_parts:
+        return df.repartition(parts, *keys)
+    return df
 
 
 def connected_components(
@@ -53,9 +98,14 @@ def connected_components(
     ``stats``: optional dict; on return ``stats["iterations"]`` holds the
     number of label-update iterations executed (convergence-detection
     iteration excluded) — observability for the log-diameter guarantee.
+
+    Job budget (checkpoint=True): setup = 2 jobs (edge checkpoint+count,
+    label checkpoint), then exactly 1 job per iteration — the label
+    checkpoint, whose ``observe`` carries the convergence sum.
     """
     u, v = edges.columns[:2]
     spark = edges.sparkSession
+    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
         edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
     ).distinct()
@@ -64,79 +114,97 @@ def connected_components(
         # lineage here, the WHOLE upstream pipeline that produced the edges
         # (e.g. MinHash-LSH candidate generation) re-executes per iteration.
         und = und.localCheckpoint(eager=True)
-
-    # Iteration-state partition sizing (same rationale as pagerank): the
-    # label table is O(nodes) rows; running every per-iteration stage at
-    # the input-tuned shuffle width burns scheduling overhead on empty
-    # tasks when the dup graph is small.  One partition per ~50k edge
-    # rows, floor 4, ceiling the session conf (no-op at real scale).
     m = und.count()
-    conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(4, min(conf_parts, -(-m // 50_000)))
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        if checkpoint:
-            und = und.repartition(parts, "dst").localCheckpoint(eager=True)
+    parts = _state_parts(m, conf_parts)
+    if checkpoint:
+        # Pin the (large) edge side on dst at state width once; the per-
+        # iteration join und⋈labels is then co-partitioned and exchange-free
+        # (localCheckpoint preserves hash partitioning in its LogicalRDD).
+        und = und.repartition(parts, "dst").localCheckpoint(eager=True)
 
-        labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-            "cluster", F.col("node")
+    labels = (
+        _sized(und.select(F.col("src").alias("node")), parts, conf_parts, "node")
+        .distinct()
+        .withColumn("cluster", F.col("node"))
+    )
+    if checkpoint:
+        obs0 = Observation()
+        labels = labels.observe(obs0, F.sum("cluster").alias("s")).localCheckpoint(
+            eager=True
         )
-        if checkpoint:
-            labels = labels.repartition(parts, "node").localCheckpoint(eager=True)
+        prev_sum = obs0.get["s"]
+    else:
         prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
 
-        converged = False
-        iterations = 0
-        # max_iter + 1: detecting convergence costs one extra (no-change)
-        # iteration, so the usable propagation budget stays a full max_iter.
-        for _ in range(max_iter + 1):
-            neighbor_min = (
-                und.join(labels, und["dst"] == labels["node"])
-                .groupBy("src")
-                .agg(F.min("cluster").alias("nmin"))
+    converged = False
+    iterations = 0
+    # max_iter + 1: detecting convergence costs one extra (no-change)
+    # iteration, so the usable propagation budget stays a full max_iter.
+    for _ in range(max_iter + 1):
+        neighbor_min = (
+            _sized(
+                und.join(labels, und["dst"] == labels["node"]).select(
+                    "src", "cluster"
+                ),
+                parts,
+                conf_parts,
+                "src",
+            )
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+        )
+        # Pointer jumping ×2: cluster <- cluster's cluster.  Every label
+        # IS a node id of the same component (initial l(x)=x; propagation
+        # and jumping both pick labels of component members), so the
+        # self-join always finds the row; coalesce guards the left join
+        # anyway.  l(l(u)) <= l(u) because l is monotone (<= identity),
+        # so the sum still decreases monotonically and equality remains a
+        # fixpoint test.  Two jumps per round ~4x chain compression at
+        # the cost of two cheap state-width joins — the jumps are LAZY
+        # plan nodes inside the iteration's single job, not extra jobs.
+        for j in range(2):
+            # Jump 1's parents side inherits node-partitioning from the
+            # labels⋈nmin left join — repartitioning it again would be a
+            # redundant exchange; jump 2's input comes out of the previous
+            # jump join partitioned on the (consumed) cluster key, so its
+            # parents side genuinely needs the node re-pin.
+            p_src = new_labels if j == 0 else _sized(
+                new_labels, parts, conf_parts, "node"
+            )
+            parents = p_src.select(
+                F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
             )
             new_labels = (
-                labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+                _sized(new_labels, parts, conf_parts, "cluster")
+                .join(parents, F.col("cluster") == parents["p_node"], "left")
                 .select(
                     "node",
-                    F.least(
-                        F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))
-                    ).alias("cluster"),
+                    F.coalesce(F.col("p_cluster"), F.col("cluster")).alias("cluster"),
                 )
             )
-            # Pointer jumping ×2: cluster <- cluster's cluster.  Every label
-            # IS a node id of the same component (initial l(x)=x; propagation
-            # and jumping both pick labels of component members), so the
-            # self-join always finds the row; coalesce guards the left join
-            # anyway.  l(l(u)) <= l(u) because l is monotone (<= identity),
-            # so the sum still decreases monotonically and equality remains a
-            # fixpoint test.  Two jumps per round ~4x chain compression at
-            # the cost of two cheap co-partitioned joins.
-            for _ in range(2):
-                parents = new_labels.select(
-                    F.col("node").alias("p_node"), F.col("cluster").alias("p_cluster")
-                )
-                new_labels = (
-                    new_labels.join(
-                        parents, new_labels["cluster"] == parents["p_node"], "left"
-                    )
-                    .select(
-                        "node",
-                        F.coalesce(F.col("p_cluster"), F.col("cluster")).alias("cluster"),
-                    )
-                )
-            if checkpoint:
-                new_labels = new_labels.localCheckpoint(eager=True)
+        if checkpoint:
+            obs = Observation()
+            new_labels = new_labels.observe(
+                obs, F.sum("cluster").alias("s")
+            ).localCheckpoint(eager=True)
+            new_sum = obs.get["s"]
+        else:
             new_sum = new_labels.agg(F.sum("cluster")).collect()[0][0]
-            labels = new_labels
-            if new_sum == prev_sum:
-                converged = True
-                break
-            iterations += 1
-            prev_sum = new_sum
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        labels = new_labels
+        if new_sum == prev_sum:
+            converged = True
+            break
+        iterations += 1
+        prev_sum = new_sum
     if stats is not None:
         stats["iterations"] = iterations
     if not converged:
@@ -155,6 +223,7 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint: bool = True,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution.
 
@@ -166,8 +235,12 @@ def pagerank(
     bit-for-bit up to summation order.
 
     ``edges``: DataFrame whose first two columns are (src, dst); duplicate
-    edges are collapsed (unweighted graph).  Nodes appear iff they occur in
-    an edge.  Returns (node, rank) with sum(rank) == 1: per iteration,
+    edges are collapsed (unweighted graph) unless the caller guarantees
+    distinctness with ``assume_distinct=True``, which skips a full edge-
+    sized dedup exchange (graph_pagerank's pairs are distinct-then-
+    symmetrized over a disjoint odd/even node encoding, so its union can
+    never introduce duplicates).  Nodes appear iff they occur in an edge.
+    Returns (node, rank) with sum(rank) == 1: per iteration,
 
         rank'(v) = (1-d)/N + d * (sum_{u->v} rank(u)/outdeg(u) + D/N)
 
@@ -176,10 +249,12 @@ def pagerank(
     which preserves the probability-distribution invariant.  D is computed
     by MASS CONSERVATION, not a second pass over ranks: every node with
     out-edges distributes exactly its rank (Σ_v contrib(v) = Σ_{outdeg>0}
-    rank(u)) and Σ rank = 1 is invariant, so D = 1 - Σ_v contrib(v) — an
-    O(N)-row re-aggregation of the already-materialized contribution
-    table instead of an anti-join over the rank vector (fp drift vs the
-    direct sum is ~1e-15/iteration, far under the 1e-7 oracle rounding).
+    rank(u)) and Σ rank = 1 is invariant, so D = 1 - Σ_v contrib(v) — and
+    since round 5 that sum rides the contribution table's checkpoint job
+    as an ``observe`` metric, so D costs NO extra job, aggregation pass,
+    or broadcast (fp value is the identical IEEE double either way; drift
+    vs the direct sum is ~1e-15/iteration, far under the 1e-7 oracle
+    rounding).
 
     Scale posture: edges are normalized ONCE into (src, dst, 1/outdeg),
     REPARTITIONED BY src and lineage-truncated — localCheckpoint preserves
@@ -187,91 +262,123 @@ def pagerank(
     edges⋈ranks never re-exchanges the (large) edge side.  nodes is
     likewise pinned on node, and every rank/contrib table in the loop
     inherits node-partitioning from it, which leaves exactly ONE exchange
-    per iteration: the map-side-combined contribution SUM moving mass from
-    src- to dst-partitioning (information-theoretically required).  The
-    dangling mass stays in a 1-row DataFrame cross-broadcast onto the
-    update — no per-iteration driver collect; the only driver scalar is N
-    (one count).
+    per iteration: the contribution SUM moving mass from src- to
+    dst-partitioning (information-theoretically required).  Job budget
+    (checkpoint=True): 2 setup jobs at real scale (normalized-edge and
+    node checkpoints, with the edge/node counts riding them as observe
+    metrics; +1 cheap state-width re-pin job in the small regime), then
+    exactly 1 job per iteration.  The only driver state is three scalars
+    (m, n, and D per iteration).
     """
     u, v = edges.columns[:2]
     spark = edges.sparkSession
-    e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).distinct()
-    if checkpoint:
-        e = e.localCheckpoint(eager=True)
-    m = e.count()
-    # Iteration-state partition sizing: the rank/contribution tables are
-    # O(nodes) rows, often orders of magnitude smaller than the session's
-    # shuffle-partition conf is tuned for (which follows the INPUT size).
-    # Running every per-iteration stage at conf width means
-    # iterations x conf near-empty tasks of pure scheduling overhead —
-    # measured 2x the whole query wall at sf0.1 (32 -> 4 partitions took
-    # 8.1 s to 3.9 s).  One partition per ~50k state rows, floor 4,
-    # ceiling at the session conf (at real scale this is a no-op).
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    parts = max(4, min(conf_parts, -(-m // 50_000)))
-    prev_conf = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
-    try:
-        nodes = (
-            e.select(F.col("src").alias("node"))
-            .union(e.select(F.col("dst").alias("node")))
-            .distinct()
-        )
-        if checkpoint:
-            nodes = nodes.repartition(parts, "node").localCheckpoint(eager=True)
-        n = nodes.count()
-        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-        # Pre-normalized edge weights: contribution of u to v is rank(u)
-        # * w with w = 1/outdeg(u).  1/k is the same IEEE double in any
-        # engine, so cross-engine drift reduces to SUM order alone.
-        e_norm = e.join(outdeg, "src").select(
-            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
-        )
-        if checkpoint:
-            e_norm = e_norm.repartition(parts, "src").localCheckpoint(eager=True)
+    e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    # Pre-normalized edge weights: contribution of u to v is rank(u) * w
+    # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
+    # cross-engine drift reduces to SUM order alone.
+    #
+    # Setup shape (round 5): edge derivation + normalization is INPUT-
+    # sized work, so it runs at session width and materializes in ONE job
+    # — the explicit src-repartition subtree feeds both consumers (outdeg
+    # agg, join), so ReuseExchange executes the upstream derivation once
+    # and the single |E|-row exchange is strictly less shuffle volume
+    # than the planner's separate agg (|V| combined) + join (|E|)
+    # exchanges.  The edge count rides the job as an observe metric
+    # (round 4 spent a separate edge checkpoint + count on this).
+    e2 = e.repartition(F.col("src"))
+    outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    e_norm = e2.join(outdeg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    )
+    if checkpoint:
+        obs_m = Observation()
+        e_norm = e_norm.observe(
+            obs_m, F.count(F.lit(1)).alias("m")
+        ).localCheckpoint(eager=True)
+        m = obs_m.get["m"]
+    else:
+        m = e_norm.count()
+    # Iteration-state width: see module docstring (_sized) — one partition
+    # per ~50k state rows, floor 4, ceiling the session conf (no-op at real
+    # scale), applied per shuffle point instead of the r4 session-conf flip.
+    parts = _state_parts(m, conf_parts)
+    if checkpoint and parts < conf_parts:
+        # Small-state regime: re-pin the (small) normalized edges at state
+        # width so every loop stage runs at `parts`; at real scale the
+        # join output is already hashpartitioning(src, conf-width) from
+        # the materialized exchange — nothing to re-pin.
+        e_norm = e_norm.repartition(parts, "src").localCheckpoint(eager=True)
 
-        # Loop shape: the ONLY materialization per iteration is the
-        # contribution table (eager checkpoint = one job).  The rank
-        # vector itself stays a SHALLOW LAZY view over the materialized
-        # contribs (nodes ⋈ contrib + broadcast dangling mass): it is
-        # consumed exactly once (next iteration's contribution join), and
-        # because contrib_i is an RDD both of its consumers (the dm
-        # re-aggregation and the join) read the materialized rows —
-        # nothing in the loop is ever computed twice, and plans stay O(1)
-        # deep without checkpointing ranks at all.  With nodes/e_norm
-        # pinned on (node)/(src) at `parts` width, the only exchange per
-        # iteration is the contribution sum moving mass from src- to
-        # dst-partitioning.
-        ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-        for _ in range(iterations):
-            contrib = (
-                e_norm.join(ranks, e_norm["src"] == ranks["node"])
-                .select("dst", (F.col("rank") * F.col("w")).alias("c"))
-                .groupBy("dst")
-                .agg(F.sum("c").alias("contrib"))
+    nodes = (
+        _sized(
+            e_norm.select(F.col("src").alias("node")).union(
+                e_norm.select(F.col("dst").alias("node"))
+            ),
+            parts,
+            conf_parts,
+            "node",
+        )
+        .distinct()
+    )
+    if checkpoint:
+        obs_n = Observation()
+        nodes = nodes.observe(obs_n, F.count(F.lit(1)).alias("n")).localCheckpoint(
+            eager=True
+        )
+        n = obs_n.get["n"]
+    else:
+        n = nodes.count()
+
+    # Loop shape: the ONLY materialization per iteration is the
+    # contribution table (eager checkpoint = one job), whose observe
+    # metric delivers the dangling mass to the driver as a scalar.  The
+    # rank vector itself stays a SHALLOW LAZY view over the materialized
+    # contribs (nodes ⋈ contrib, both checkpoint-partitioned at state
+    # width → co-partitioned, exchange-free; D enters as a literal): it
+    # is consumed exactly once (next iteration's contribution join), so
+    # nothing in the loop is ever computed twice and plans stay O(1)
+    # deep without checkpointing ranks at all.
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    for _ in range(iterations):
+        contrib = (
+            _sized(
+                e_norm.join(ranks, e_norm["src"] == ranks["node"]).select(
+                    "dst", (F.col("rank") * F.col("w")).alias("c")
+                ),
+                parts,
+                conf_parts,
+                "dst",
             )
-            if checkpoint:
-                contrib = contrib.localCheckpoint(eager=True)
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        if checkpoint:
+            obs = Observation()
+            contrib = contrib.observe(
+                obs, F.coalesce(F.sum("contrib"), F.lit(0.0)).alias("s")
+            ).localCheckpoint(eager=True)
+            dm = F.lit(1.0 - obs.get["s"])
+        else:
+            # Lazy path: the dangling mass stays a 1-row DataFrame cross-
+            # broadcast onto the update (no materialization to observe).
             dangling = contrib.agg(
                 (F.lit(1.0) - F.coalesce(F.sum("contrib"), F.lit(0.0))).alias("dm")
             )
-            ranks = (
-                nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
-                .crossJoin(F.broadcast(dangling))
-                .select(
-                    "node",
-                    (
-                        F.lit((1.0 - damping) / n)
-                        + F.lit(damping)
-                        * (
-                            F.coalesce(F.col("contrib"), F.lit(0.0))
-                            + F.col("dm") / F.lit(float(n))
-                        )
-                    ).alias("rank"),
-                )
-            )
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", prev_conf)
+        new_ranks = nodes.join(contrib, nodes["node"] == contrib["dst"], "left")
+        if not checkpoint:
+            new_ranks = new_ranks.crossJoin(F.broadcast(dangling))
+            dm = F.col("dm")
+        ranks = new_ranks.select(
+            "node",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping)
+                * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dm / F.lit(float(n)))
+            ).alias("rank"),
+        )
     return ranks
 
 

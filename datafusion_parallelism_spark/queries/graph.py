@@ -113,7 +113,12 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    ranks = pagerank(edges, damping=_DAMPING, iterations=_ITERS)
+    # assume_distinct: pairs is distinct and the odd/even node encoding
+    # makes the symmetrized union disjoint, so pagerank's dedup exchange
+    # would be a full |E|-sized no-op.
+    ranks = pagerank(
+        edges, damping=_DAMPING, iterations=_ITERS, assume_distinct=True
+    )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))
         .otherwise(F.lit("supplier"))
@@ -132,8 +137,9 @@ _TRI_MIN_SHARED = 2  # orders a part pair must co-occur in to form an edge
 #: counts) and the exclusion is mirrored in the oracle.  64 is ~10x the
 #: largest real basket in the driver data (TPC-H orders have <= 7
 #: lineitems), so the cap is inert on sane data and only disarms
-#: adversarial skew; co_purchase_edges reports how many orders were
-#: dropped so the cap is never silent.
+#: adversarial skew; callers that need drop observability pass
+#: co_purchase_edges an opt-in ``capped_counter`` (the registered query
+#: skips it — the counter costs one extra scalar aggregation).
 _TRI_MAX_BASKET = 64
 
 _TRIANGLE_ORACLE = f"""

@@ -732,7 +732,7 @@ def _simhash(d: DataFrame) -> DataFrame:
     """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document 32-bit SimHash signature (frequency-weighted bit votes
+    """Per-document 60-bit SimHash signature (frequency-weighted bit votes
     over portable token hashes).  Pure map + single aggregation — the
     signature table a banded hamming-join consumes."""
     return _simhash(_docs_spread(spark, sf_dir))
