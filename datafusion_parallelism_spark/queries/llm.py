@@ -633,20 +633,30 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     sigs = _minhash_sigs(d)
     n_bands = N_PERMS // BAND_ROWS
-    bands = sigs.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.concat_ws("-", *_band_cols(i)).alias("sig"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("doc_id", "bs.band", "bs.sig")
+    bands = (
+        sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("band"),
+                            F.concat_ws("-", *_band_cols(i)).alias("sig"),
+                        )
+                        for i in range(n_bands)
+                    ]
+                )
+            ).alias("bs"),
+        )
+        .select("doc_id", "bs.band", "bs.sig")
+        # Materialized once: BOTH sides of the bucket self-join read this
+        # table, and ReuseExchange does NOT unify the two exchange subtrees
+        # when each contains its own copy of the ArrowEvalPython signature
+        # stage (measured: the UDF pass executed twice) — checkpointing the
+        # band table makes the one Arrow signature pass the only UDF
+        # execution at any scale (sf0.1: exec 0.75 s -> 0.37 s).
+        .localCheckpoint(eager=False)
+    )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
