@@ -410,13 +410,35 @@ WINNOW_W = 10  # winnowing window (guarantee: shared spans >= K+W-1 = 34 chars)
 WINNOW_T = 8  # min shared fingerprints to report a pair
 
 
+#: Grams per winnowing chunk: bounds every per-(doc, chunk) window sort at
+#: CHUNK + W - 1 rows no matter how long one document is.  Overlap overhead
+#: is (W-1)/CHUNK ≈ 0.1% extra gram rows.
+WINNOW_CHUNK = 8192
+
+
 def winnow_fingerprints(
-    d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W
+    d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W, chunk: int = WINNOW_CHUNK
 ) -> DataFrame:
     """(doc_id, h) winnowing fingerprints: hash every k-char gram of
     ``text``, keep each w-gram sliding window's MIN hash, distinct per doc.
     Selection is content-local (never absolute-position-dependent), which
-    is what makes the shared-span guarantee hold across alignments."""
+    is what makes the shared-span guarantee hold across alignments.
+
+    CHUNKED window evaluation (round 5), output-identical to the whole-doc
+    window: the window min at anchor ``pos`` depends only on grams
+    ``pos..pos+w-1``, so grams are routed to fixed-size chunks of ``chunk``
+    anchor positions with the FIRST w-1 grams of each chunk duplicated into
+    the previous one (gram p serves anchors p-w+1..p, i.e. chunks
+    floor((p-w)/chunk)..floor((p-1)/chunk) — at most 2 when chunk >= w).
+    Each (doc, chunk) partition is the consecutive gram run
+    [c*chunk+1, (c+1)*chunk + w-1], so every CHUNK-OWNED anchor sees its
+    full w successors (or the true doc tail, exactly like the unchunked
+    window); borrowed anchors are filtered out before distinct.  The
+    fingerprint set is therefore bit-identical (pinned by a hypothesis
+    test against an unchunked reference at chunk=16), while the per-
+    partition window sort is bounded at chunk+w-1 rows — a 1 GB document
+    no longer serializes into ONE window partition, and long docs spread
+    across the cluster instead of pinning a straggler task."""
     grams = (
         d.filter(F.length("text") >= k)
         .select(
@@ -438,9 +460,15 @@ def winnow_fingerprints(
     # against its w-1 successors, and the guarantee fails when a smaller
     # hash sits just past the shared span's edge.  The window-min VALUES
     # are exactly the selected hash set, no argmin bookkeeping needed.)
-    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    owned = F.floor((F.col("pos") - 1) / chunk)
+    lo = F.greatest(F.lit(0), F.floor((F.col("pos") - w) / chunk))
+    routed = grams.select(
+        "doc_id", "pos", "h", F.explode(F.sequence(lo, owned)).alias("chk")
+    )
+    win = Window.partitionBy("doc_id", "chk").orderBy("pos").rowsBetween(0, w - 1)
     return (
-        grams.withColumn("wmin", F.min("h").over(win))
+        routed.withColumn("wmin", F.min("h").over(win))
+        .filter(owned == F.col("chk"))
         .select("doc_id", F.col("wmin").alias("h"))
         .distinct()
     )

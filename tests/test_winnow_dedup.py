@@ -78,3 +78,65 @@ def test_fingerprint_density_near_two_over_w_plus_one(spark):
     density = len(by_doc[0]) / n_positions
     expected = 2 / (WINNOW_W + 1)
     assert 0.5 * expected < density < 2.0 * expected
+
+
+def _reference_fingerprints(text, k, w):
+    """Unchunked pure-Python winnowing reference: md5-based gram hashes
+    mirroring _phash, per-window minima (trailing windows shrink at the
+    doc tail), distinct."""
+    from hashlib import md5
+
+    P = (1 << 61) - 1
+    n = len(text) - k + 1
+    if n <= 0:
+        return set()
+    hs = [
+        int(md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    return {min(hs[i : i + w]) for i in range(n)}
+
+
+def test_chunked_equals_unchunked_reference(spark):
+    """The chunked window evaluation must be OUTPUT-IDENTICAL to whole-doc
+    winnowing.  chunk=16 with 300-char docs forces ~18 chunk boundaries per
+    doc, exercising the borrowed-gram overlap on every boundary."""
+    from datafusion_parallelism_spark.queries.llm import _phash  # noqa: F401
+
+    rng = random.Random(11)
+    texts = []
+    for n in (WINNOW_K, WINNOW_K + 1, 40, 97, 300, 301):
+        texts.append(
+            "".join(rng.choice("ab") for _ in range(n))  # tiny alphabet: many ties
+        )
+        texts.append(
+            "".join(rng.choice(string.ascii_lowercase) for _ in range(n))
+        )
+    df = _docs_df(spark, texts)
+    got = winnow_fingerprints(df, chunk=16)
+    by_doc = {}
+    for r in got.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.h)
+    for i, t in enumerate(texts):
+        want = _reference_fingerprints(t, WINNOW_K, WINNOW_W)
+        assert by_doc.get(i, set()) == want, (
+            f"doc {i} (len {len(t)}): chunked != unchunked reference"
+        )
+
+
+def test_guaranteed_span_detected_across_chunk_boundary(spark):
+    """A guarantee-length span straddling a chunk boundary in ONE doc and
+    sitting mid-chunk in the other must still share a fingerprint."""
+    rng = random.Random(13)
+    span = "".join(rng.choice(string.ascii_lowercase) for _ in range(GUARANTEE_LEN))
+    chunk = 64
+    for offset in range(chunk - GUARANTEE_LEN, chunk + 1):  # span crosses pos=chunk
+        a = "".join(rng.choice(string.ascii_uppercase) for _ in range(offset)) + span \
+            + "".join(rng.choice(string.ascii_uppercase) for _ in range(40))
+        b = "".join(rng.choice(string.digits) for _ in range(17)) + span
+        df = _docs_df(spark, [a, b])
+        fp = winnow_fingerprints(df, chunk=chunk)
+        by_doc = {}
+        for r in fp.collect():
+            by_doc.setdefault(r.doc_id, set()).add(r.h)
+        assert by_doc[0] & by_doc[1], f"boundary-straddling span missed at offset {offset}"
