@@ -323,3 +323,70 @@ def test_pagerank_iteration_plan_is_truncated(spark):
     # One iteration = one edges-ranks join; a non-truncated plan would
     # contain 4+ joins.
     assert plan.count("Join") <= 2, plan
+
+
+def test_triangle_corners_single_generator_pass(spark, sf_dir):
+    """The per-corner count must come from ONE explode over the triangle
+    list, not a 3-way union of projections — union would inline the
+    wedge-join subtree three times (ReusedExchange dedupes the shuffle
+    writes but each copy re-reads and re-joins; measured 22-exchange plan
+    vs 10).  Pin: exactly one LeftSemi (the closing-edge check), exactly
+    one Generate (the corner explode), no BroadcastNestedLoop/cartesian."""
+    plan = physical_plan_str(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    assert plan.count("LeftSemi") == 1, plan
+    assert plan.count("Generate") == 1, plan
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 12, plan
+
+
+def test_pagerank_final_plan_is_copartitioned_no_exchange(spark):
+    """The returned ranks view (nodes ⋈ final contribs, both checkpoint-
+    partitioned at state width) must plan exchange-free: losing the
+    src/node partitioning reuse would show up here as a new Exchange."""
+    from datafusion_parallelism_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)],
+        schema="u long, v long",
+    )
+    # Benchmark-session posture below the AQE byte gate (session.py): with
+    # AQE on, the checkpoint materializes under AdaptiveSparkPlan and its
+    # LogicalRDD reports UnknownPartitioning, so the final join re-plans
+    # exchanges it doesn't need — the co-partitioning contract this test
+    # pins is the AQE-off small-input regime (and at real scale AQE's
+    # runtime reuse makes its own call).
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        plan = physical_plan_str(pagerank(edges, iterations=3))
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert "Exchange" not in plan, plan
+
+
+def test_winnow_fingerprints_window_is_chunk_partitioned(spark):
+    """The winnowing window sort must partition on (doc_id, chunk) — the
+    bounded-chunk evaluation — and reach the Window through exactly one
+    exchange (no repeated shuffles of the gram table)."""
+    from datafusion_parallelism_spark.queries.llm import winnow_fingerprints
+
+    d = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 500)], "doc_id long, text string"
+    )
+    plan = physical_plan_str(winnow_fingerprints(d))
+    assert "Window" in plan, plan
+    import re
+
+    spec = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert spec and "doc_id" in spec.group(1) and "chk" in spec.group(1), plan
+
+
+def test_kmeans_final_plan_broadcast_assign_two_exchanges(spark, sf_dir):
+    """vec_kmeans_clusters' final assignment: broadcast the K-row centroid
+    table onto the (checkpointed) vector table — the corpus side must NOT
+    shuffle for the join; the only exchanges are the final count
+    aggregation's partial/final pair."""
+    plan = physical_plan_str(REGISTRY["vec_kmeans_clusters"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
+    assert plan.count("Exchange") <= 3, plan
+    assert "SortMergeJoin" not in plan, plan
