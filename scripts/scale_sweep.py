@@ -145,13 +145,21 @@ def spark_wall(sf_dir: str) -> dict:
     below, which supports SWEEP_DUCKDB_SKIP for oracles already established
     super-linear) — bench.py's embedded same-window DuckDB pass would run
     every oracle unskipped, which at GB factors means hours."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir, SPARK_GRAFT_NO_DUCKDB="1")
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR=sf_dir,
+        SPARK_GRAFT_NO_DUCKDB="1",
+        # 1 warm-up + 2 measured passes: at GB factors a pass dwarfs
+        # scheduling noise, and the default 5 passes would cost hours of
+        # sweep wall at x128/x256 (driver bench.py runs keep the default).
+        SPARK_GRAFT_PASSES=os.environ.get("SWEEP_SPARK_PASSES", "2"),
+    )
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         env=env,
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=7200,
     )
     for line in reversed(proc.stdout.strip().splitlines()):
         try:
