@@ -106,9 +106,24 @@ def connected_components(
     u, v = edges.columns[:2]
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    und = edges.select(F.col(u).alias("src"), F.col(v).alias("dst")).union(
-        edges.select(F.col(v).alias("src"), F.col(u).alias("dst"))
-    ).distinct()
+    # Symmetrize with ONE generator pass, not union-of-projections: union
+    # would inline the caller's edge-producing subtree twice, and unless
+    # its top happens to be a reusable exchange, both copies execute
+    # (e.g. dedup_near_clusters feeds the MinHash verify join here — its
+    # shingle HOF stage ran twice before this).  explode touches the
+    # subtree once by construction.
+    und = (
+        edges.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col(u).alias("src"), F.col(v).alias("dst")),
+                    F.struct(F.col(v).alias("src"), F.col(u).alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .distinct()
+    )
     if checkpoint:
         # The edge list is re-joined every iteration; without truncating its
         # lineage here, the WHOLE upstream pipeline that produced the edges

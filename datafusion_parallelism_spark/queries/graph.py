@@ -112,7 +112,18 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = pairs.union(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    # Symmetrize via one generator pass: a union of two projections would
+    # inline the orders⋈lineitem-distinct subtree twice (ReuseExchange
+    # shares the distinct's shuffle, but the post-exchange aggregate still
+    # re-executes per branch); explode touches it once by construction.
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("u"), F.col("v")),
+                F.struct(F.col("v").alias("u"), F.col("u").alias("v")),
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
     # assume_distinct: pairs is distinct and the odd/even node encoding
     # makes the symmetrized union disjoint, so pagerank's dedup exchange
     # would be a full |E|-sized no-op.
