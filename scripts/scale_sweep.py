@@ -252,6 +252,12 @@ def main() -> None:
         }
         rows.append(row)
         print(json.dumps(row), flush=True)
+        # Durable per-factor record: a crash mid-sweep (or a lost stdout
+        # pipe) must not lose completed factors — observed once at x128.
+        out = os.environ.get("SWEEP_OUT")
+        if out:
+            with open(out, "a") as fh:
+                fh.write(json.dumps(row) + "\n")
 
     print("\nfactor  input_mb  spark_s  duckdb_s  ratio")
     for r in rows:
