@@ -168,6 +168,17 @@ def get_spark(
         # ns-timestamp parquet columns read as long nanos; sources/parquet.py
         # casts them back to TimestampType at the scan.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # 32 task threads decompressing parquet hold JNI critical sections
+        # (GCLocker) almost continuously at GB-scale inputs; the JVM's
+        # default of 2 GCLocker retries made tiny allocations ("3 words")
+        # fail with "Retried waiting for GCLocker too often" and killed the
+        # executor mid-query at the x128 replica (2.3 GB) regardless of
+        # heap size.  Raising the retry budget is the documented mitigation
+        # (JDK G1 GCLocker starvation); it costs nothing when uncontended.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=128",
+        )
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
