@@ -194,6 +194,14 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
     # x4 oracle).
     con.sql("SET temp_directory = '/tmp/duckdb_sweep_tmp'")
     con.sql("SET max_temp_directory_size = '20GB'")
+    # Cap DuckDB's RAM too (default is ~80% of the machine): at x128 the
+    # vec_kmeans oracle grew past 130 GB RSS and the kernel OOM-killed the
+    # whole sweep process (exit 137), losing the factor's completed Spark
+    # phase.  With an explicit limit DuckDB spills (into the capped temp
+    # dir above) and an oracle that exceeds both fails ITS measurement.
+    con.sql(
+        f"SET memory_limit = '{os.environ.get('SWEEP_DUCKDB_MEMLIMIT', '48GB')}'"
+    )
     for t in list(OFFSETS) + list(FIXED_TABLES):
         con.sql(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
@@ -239,6 +247,24 @@ def main() -> None:
         # Spark first: its scaling curve is the sweep's primary subject;
         # the DuckDB pass (which dominates wall at GB factors) follows.
         spark = spark_wall(sf_dir)
+        # Durable spark-phase record BEFORE the DuckDB pass: a DuckDB
+        # oracle once OOM-killed the sweep process at x128, losing the
+        # factor's completed 25-minute Spark measurement.
+        out = os.environ.get("SWEEP_OUT")
+        if out:
+            with open(out, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "factor": f,
+                            "input_mb": size_mb,
+                            "phase": "spark-only",
+                            "spark_wall_s": spark["value"],
+                            "spark_queries": spark["queries"],
+                        }
+                    )
+                    + "\n"
+                )
         duck = duckdb_wall(sf_dir, HEADLINE)
         row = {
             "factor": f,
@@ -254,7 +280,6 @@ def main() -> None:
         print(json.dumps(row), flush=True)
         # Durable per-factor record: a crash mid-sweep (or a lost stdout
         # pipe) must not lose completed factors — observed once at x128.
-        out = os.environ.get("SWEEP_OUT")
         if out:
             with open(out, "a") as fh:
                 fh.write(json.dumps(row) + "\n")
