@@ -228,7 +228,68 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
     return times
 
 
+def duckdb_wall_isolated(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Like duckdb_wall, but each oracle runs in its own subprocess.
+
+    DuckDB's memory_limit does not track every allocation: at x128 the
+    vec_kmeans oracle grew to 130 GB RSS under memory_limit=48GB and the
+    kernel OOM-killed the whole sweep (twice).  In-process there is no way
+    to survive a SIGKILL; per-oracle isolation turns it into that oracle's
+    recorded outcome (rc -9 -> "oom-killed").  Used at GB factors
+    (SWEEP_DUCKDB_ISOLATE=1); in-process duckdb_wall stays the default at
+    small factors where subprocess startup would bias sub-second walls."""
+    skip = {s for s in os.environ.get("SWEEP_DUCKDB_SKIP", "").split(",") if s}
+    timeout = int(os.environ.get("SWEEP_DUCKDB_TIMEOUT", "7200"))
+    times: dict[str, float] = {}
+    for name in names:
+        if name in skip:
+            continue
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--duck-one", sf_dir, name],
+            capture_output=True,
+            text=True,
+            timeout=timeout,
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else ""
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            rec = None
+        if proc.returncode != 0 or rec is None:
+            msg = (
+                "oom-killed (rc -9, kernel OOM)"
+                if proc.returncode == -9
+                else f"rc {proc.returncode}: {(rec or {}).get('error', proc.stderr[-120:])}"
+            )
+            times[f"{name}__error"] = msg[:160]  # type: ignore[assignment]
+            print(f"  duckdb {name}: ERROR {msg[:160]}", flush=True)
+        elif "error" in rec:
+            times[f"{name}__error"] = rec["error"][:160]  # type: ignore[assignment]
+            print(f"  duckdb {name}: ERROR {rec['error'][:120]}", flush=True)
+        else:
+            times[name] = rec["best"]
+            print(f"  duckdb {name}: {rec['best']:.2f}s", flush=True)
+    return times
+
+
+def _duck_one(sf_dir: str, name: str) -> None:
+    """Subprocess entry: run ONE oracle, print a one-line JSON result."""
+    try:
+        res = duckdb_wall(sf_dir, [name])
+    except Exception as exc:  # noqa: BLE001
+        print(json.dumps({"name": name, "error": str(exc)[:160]}))
+        return
+    if name in res:
+        print(json.dumps({"name": name, "best": res[name]}))
+    else:
+        err = res.get(f"{name}__error", "no result")
+        print(json.dumps({"name": name, "error": str(err)[:160]}))
+
+
 def main() -> None:
+    if len(sys.argv) >= 4 and sys.argv[1] == "--duck-one":
+        _duck_one(sys.argv[2], sys.argv[3])
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16]
     from bench import HEADLINE
 
@@ -265,7 +326,11 @@ def main() -> None:
                     )
                     + "\n"
                 )
-        duck = duckdb_wall(sf_dir, HEADLINE)
+        duck = (
+            duckdb_wall_isolated(sf_dir, HEADLINE)
+            if os.environ.get("SWEEP_DUCKDB_ISOLATE", "") == "1"
+            else duckdb_wall(sf_dir, HEADLINE)
+        )
         row = {
             "factor": f,
             "input_mb": size_mb,
