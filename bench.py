@@ -38,7 +38,22 @@ Measurement protocol (reference parity, fixed in round 4):
   30 min for the bench session so a full driver GC cannot fire inside a
   measured window; the harness runs an explicit ``System.gc()`` between
   query blocks instead, which performs the same broadcast/shuffle-file
-  cleanup (and releases per-pass localCheckpoint RDDs) off the clock.
+  cleanup off the clock.
+* Dead localCheckpoint blocks are explicitly unpersisted between passes
+  and between queries (``_release_persisted``, off the clock).  Relying
+  on GC alone does NOT release them promptly — the Python wrapper must
+  be collected, py4j must relay the finalizer, and ContextCleaner must
+  process the queue — and at GB-scale factors the leak is measurable:
+  in the x256 sweep session the late-position queries ran 2-3x slower
+  than the same query in a fresh session (tpch_q18 38.1 s in-session vs
+  20.7 s isolated; agg_count_distinct 53.0 vs 22.1; vec_kmeans 48.8 vs
+  21.5 — identical walls at 24 g and 64 g heap, so heap size was NOT the
+  cause; block-manager eviction churn was).  The reference has no such
+  residue (DataFusion frees each query's memory deterministically on
+  drop), so releasing finished passes' blocks is protocol parity, not a
+  discount: nothing a measured pass builds is ever reused by a later
+  pass — each pass still re-materializes its own checkpoints from
+  scratch (the round-4 honesty fix stands).
 * **Same-window DuckDB walls** (``duckdb_queries`` / ``duckdb_total``,
   plus ``ratio`` = spark/duckdb) are measured in the same process run so
   the comparison can never straddle a machine-state change: each headline
@@ -163,6 +178,29 @@ def _duckdb_walls(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
     return walls
 
 
+def _persistent_ids(spark) -> set[int]:
+    """Ids of currently persisted RDDs (JavaSparkContext.getPersistentRDDs)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey() for e in jmap.entrySet().toArray()}
+
+
+def _release_persisted(spark, keep_ids: set[int]) -> None:
+    """Unpersist every persisted RDD not in ``keep_ids`` (blocking).
+
+    localCheckpoint marks its RDD persisted (MEMORY_AND_DISK); a finished
+    pass's blocks are unreachable from any live plan but sit in the block
+    manager until three garbage collectors cooperate.  Called strictly
+    OFF the measurement clock (see module docstring for the measured
+    inflation this prevents at GB-scale factors)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for e in jmap.entrySet().toArray():
+        if e.getKey() not in keep_ids:
+            try:
+                e.getValue().unpersist(True)
+            except Exception:  # noqa: BLE001 — already released is fine
+                pass
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -199,9 +237,13 @@ def main() -> None:
     plan_samples: dict[str, list[float]] = {n: [] for n in names}
     exec_samples: dict[str, list[float]] = {n: [] for n in names}
     wall_samples: dict[str, list[float]] = {n: [] for n in names}
+    # Persistent-RDD ids present BEFORE any query (from_memory cached
+    # tables live here): never unpersisted by the per-pass cleanup.
+    keep_ids = _persistent_ids(spark)
     for name in names:
         fn = REGISTRY[name].fn
         _force(fn(spark, sf_dir))  # warm-up: JIT + codegen + imports
+        _release_persisted(spark, keep_ids)
         spark._jvm.System.gc()  # off-the-clock cleanup before the block
         for _ in range(PASSES):
             t0 = time.perf_counter()
@@ -212,6 +254,8 @@ def main() -> None:
             plan_samples[name].append(t1 - t0)
             exec_samples[name].append(t2 - t1)
             wall_samples[name].append(t2 - t0)
+            del df
+            _release_persisted(spark, keep_ids)  # off the clock
 
     # Tukey-reject on the headline (plan-inclusive) wall; the exec/plan
     # split is reported from the SAME kept passes so the parts sum to the
