@@ -40,7 +40,7 @@ Measurement protocol (reference parity, fixed in round 4):
   query blocks instead, which performs the same broadcast/shuffle-file
   cleanup off the clock.
 * Dead localCheckpoint blocks are explicitly unpersisted between passes
-  and between queries (``_release_persisted``, off the clock).  Relying
+  and between queries (``session.release_persisted``, off the clock).  Relying
   on GC alone does NOT release them promptly — the Python wrapper must
   be collected, py4j must relay the finalizer, and ContextCleaner must
   process the queue — and at GB-scale factors the leak is measurable:
@@ -93,6 +93,8 @@ from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
 from datafusion_parallelism_spark.session import (  # noqa: E402
     benchmark_session,
     force_execute as _force,
+    persistent_rdd_ids as _persistent_ids,
+    release_persisted as _release_persisted,
 )
 
 #: Fixed round-1-3 headline set: the reference's own subject (multi-join
@@ -176,29 +178,6 @@ def _duckdb_walls(names: list[str], sf_dir: str, cpus: int) -> dict[str, float]:
             best = min(best, time.perf_counter() - t0)
         walls[name] = round(best, 3)
     return walls
-
-
-def _persistent_ids(spark) -> set[int]:
-    """Ids of currently persisted RDDs (JavaSparkContext.getPersistentRDDs)."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    return {e.getKey() for e in jmap.entrySet().toArray()}
-
-
-def _release_persisted(spark, keep_ids: set[int]) -> None:
-    """Unpersist every persisted RDD not in ``keep_ids`` (blocking).
-
-    localCheckpoint marks its RDD persisted (MEMORY_AND_DISK); a finished
-    pass's blocks are unreachable from any live plan but sit in the block
-    manager until three garbage collectors cooperate.  Called strictly
-    OFF the measurement clock (see module docstring for the measured
-    inflation this prevents at GB-scale factors)."""
-    jmap = spark.sparkContext._jsc.getPersistentRDDs()
-    for e in jmap.entrySet().toArray():
-        if e.getKey() not in keep_ids:
-            try:
-                e.getValue().unpersist(True)
-            except Exception:  # noqa: BLE001 — already released is fine
-                pass
 
 
 def main() -> None:

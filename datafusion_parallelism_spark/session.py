@@ -272,6 +272,35 @@ def force_execute(df: DataFrame) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of currently persisted RDDs (JavaSparkContext.getPersistentRDDs)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {e.getKey() for e in jmap.entrySet().toArray()}
+
+
+def release_persisted(spark: SparkSession, keep_ids: set[int] = frozenset()) -> None:
+    """Unpersist every persisted RDD not in ``keep_ids`` (blocking).
+
+    localCheckpoint marks its RDD persisted (MEMORY_AND_DISK); once the
+    last plan referencing it is dropped the blocks are garbage, but the
+    release path (Python finalizer → py4j → ContextCleaner queue) is too
+    slow to matter inside a measurement session.  At GB-scale inputs the
+    accumulated blocks cause block-manager eviction churn that inflated
+    late-position queries 2-3× (x256 sweep: tpch_q18 38.1 s in-session vs
+    20.7 s fresh-session, identical at 24 g and 64 g heap).  Harnesses
+    that run many queries in one session call this between queries,
+    strictly off any measurement clock; pass ``keep_ids`` from
+    ``persistent_rdd_ids`` to protect deliberately cached tables
+    (from_memory mode)."""
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    for e in jmap.entrySet().toArray():
+        if e.getKey() not in keep_ids:
+            try:
+                e.getValue().unpersist(True)
+            except Exception:  # noqa: BLE001 — already released is fine
+                pass
+
+
 #: (session id, table name) -> (sf_dir, DataFrame) for views already
 #: registered — every SQL-entry query calls register_tables, and without the
 #: memo each call re-issues ~2 py4j roundtrips per table (scan + view DDL),

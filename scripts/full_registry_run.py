@@ -33,6 +33,7 @@ from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
 from datafusion_parallelism_spark.session import (  # noqa: E402
     benchmark_session,
     force_execute,
+    release_persisted,
 )
 
 
@@ -64,6 +65,10 @@ def main() -> int:
         if out_f:
             out_f.write(line + "\n")
             out_f.flush()
+        # Off the clock: drop the finished query's localCheckpoint blocks so
+        # late-position queries don't run under block-manager eviction churn
+        # (the cross-query inflation documented in bench.py's docstring).
+        release_persisted(spark)
     if out_f:
         out_f.close()
     print(f"done: {len(names) - len(failed)}/{len(names)} ok", flush=True)
