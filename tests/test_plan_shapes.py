@@ -309,6 +309,23 @@ def test_corpus_profile_single_expand_single_exchange(spark, sf_dir):
     assert plan.count("Exchange") <= 2, plan
 
 
+def test_agg_count_distinct_split_no_expand(spark, sf_dir):
+    """agg_count_distinct must plan as per-column distinct→count branches
+    joined by broadcast, NOT the Expand-based multi-distinct: Expand
+    triples the fact scan and merges both key domains into one partial
+    aggregate whose per-task hash table spills at GB factors (x256 A/B:
+    21.5–30.6 s Expand vs 14.8 s split; BASELINE.md §Round 5).  Contrast
+    corpus_profile, where one Expand pass over MANY low-churn columns is
+    the right trade — see its test above."""
+    plan = physical_plan_str(REGISTRY["agg_count_distinct"].fn(spark, sf_dir))
+    assert "Expand" not in plan, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert plan.count("Scan parquet") == 3, plan
+    # Each distinct branch dedups map-side BEFORE its exchange (partial
+    # aggregation keeps the shuffle at one row per distinct key).
+    assert plan.count("HashAggregate") >= 8, plan
+
+
 def test_pagerank_iteration_plan_is_truncated(spark):
     """localCheckpoint must keep each iteration's plan O(1) deep: the
     final rank DataFrame's physical plan may reference checkpointed RDDs
