@@ -399,19 +399,27 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     form (each partial dedup holds ONE column's domain), and the split
     is also faster at sf0.1 (0.69 s vs 0.76 s mean of 5) because the
     Expand triples even a toy scan.  The group-key join is a broadcast
-    of ≤|distinct flags| rows per side — never a data-sized shuffle."""
+    of ≤|distinct flags| rows per side — never a data-sized shuffle.
+
+    NULL semantics (ADVICE r5): counting the VALUE column after
+    distinct() — not count(lit(1)) — makes each branch match
+    COUNT(DISTINCT x)'s ignore-NULLs rule when the counted column is
+    nullable.  Remaining assumption, asserted against the data: the
+    GROUP KEY l_returnflag is non-null (TPC-H guarantees it; a NULL
+    group key would be dropped by these inner equi-joins where GROUP BY
+    keeps it — use a null-safe join via eqNullSafe if that ever changes)."""
     l = load(spark, sf_dir, "lineitem")
     supp = (
         l.select("l_returnflag", "l_suppkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_supp"))
+        .agg(F.count("l_suppkey").alias("n_supp"))
     )
     part = (
         l.select("l_returnflag", "l_partkey")
         .distinct()
         .groupBy("l_returnflag")
-        .agg(F.count(F.lit(1)).alias("n_part"))
+        .agg(F.count("l_partkey").alias("n_part"))
     )
     n = l.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
     # Explicit broadcast: the joined sides are ≤|distinct flags| rows, but

@@ -415,6 +415,20 @@ WINNOW_T = 8  # min shared fingerprints to report a pair
 #: is (W-1)/CHUNK ≈ 0.1% extra gram rows.
 WINNOW_CHUNK = 8192
 
+#: Stop-fingerprint document-frequency ceiling for the winnowing pair
+#: self-join — the same adversarial-density bound as SHINGLE_DF_CEILING
+#: (see that constant's rationale): the join on ``a.h = b.h`` costs
+#: Σ df(h)² over fingerprints, so ONE license-boilerplate fingerprint
+#: shared by a million documents would alone emit ~10¹² pairs at 100 TB.
+#: A fingerprint present in more than CEILING documents carries no
+#: discriminating near-dup signal (it IS corpus boilerplate) and is
+#: excluded from pair generation.  The shared-span guarantee weakens only
+#: for spans ALL of whose selected fingerprints are that common — i.e.
+#: spans that are themselves boilerplate; any span containing >= k+w-1
+#: chars of below-ceiling content still fires (pinned by
+#: tests/test_winnow_dedup.py).  Mirrored in the oracle.
+WINNOW_FP_DF_CEILING = 256
+
 
 def winnow_fingerprints(
     d: DataFrame, k: int = WINNOW_K, w: int = WINNOW_W, chunk: int = WINNOW_CHUNK
@@ -474,6 +488,35 @@ def winnow_fingerprints(
     )
 
 
+def winnow_pair_counts(
+    fp: DataFrame, n_part: int, ceiling: int = WINNOW_FP_DF_CEILING
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fps) from a (doc_id, h) fingerprint table,
+    pre-threshold.  Fingerprints appearing in more than ``ceiling``
+    documents are dropped before the self-join (stop-fingerprint rule —
+    see WINNOW_FP_DF_CEILING); the df count is a window COUNT over the
+    same h-partitioning the join needs, so the cap costs zero extra
+    exchanges, exactly like ``_blocked_shingle_index``."""
+    fp = fp.repartition(n_part, "h")
+    fp = (
+        fp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= ceiling)
+        .select("doc_id", "h")
+    )
+    # The self-join consumes fp twice and Spark has no cross-branch CSE:
+    # without a checkpoint the explode (~K-gram fan-out) + per-doc window
+    # sort — the two heaviest stages — would execute twice.  Same pattern
+    # as the MinHash band join.
+    fp = fp.localCheckpoint(eager=False)
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+
+
 @query(
     "dedup_winnow_spans",
     oracle=f"""
@@ -489,9 +532,14 @@ def winnow_fingerprints(
                MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
                             ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
         FROM g)
+    ),
+    fpf AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS df FROM fp
+      ) WHERE df <= {WINNOW_FP_DF_CEILING}
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fps
-    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    FROM fpf a JOIN fpf b ON a.h = b.h AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     HAVING COUNT(*) >= {WINNOW_T}
     """,
@@ -516,25 +564,16 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: O(total_chars) gram rows through ONE shuffle (window partitioned
     by doc_id); density ~2/(W+1) fingerprints per char, so the inverted
     fingerprint index is ~5x smaller than the gram table before the blocked
-    self-join (same Σ df(h)² cost shape + AQE skew-split mitigation as the
-    shingle index).  No Python in the plan: substring/md5/conv are codegen
-    expressions and the window min is a single WindowExec."""
+    self-join (same Σ df(h)² cost shape + stop-fingerprint
+    WINNOW_FP_DF_CEILING cap + AQE skew-split mitigation as the shingle
+    index — the cap bounds the one adversarial input left: a boilerplate
+    fingerprint shared by millions of documents).  No Python in the plan:
+    substring/md5/conv are codegen expressions and the window min is a
+    single WindowExec."""
     d = _docs_spread(spark, sf_dir)
     fp = winnow_fingerprints(d)
     n_part = spark.sparkContext.defaultParallelism
-    # The self-join consumes fp twice and Spark has no cross-branch CSE:
-    # without a checkpoint the explode (~K-gram fan-out) + per-doc window
-    # sort — the two heaviest stages — would execute twice.  Same pattern
-    # as the MinHash band join above.
-    fp = fp.repartition(n_part, "h").localCheckpoint(eager=False)
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
-        .filter(F.col("shared_fps") >= WINNOW_T)
-    )
+    return winnow_pair_counts(fp, n_part).filter(F.col("shared_fps") >= WINNOW_T)
 
 
 def _minhash_sigs(d: DataFrame) -> DataFrame:

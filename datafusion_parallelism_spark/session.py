@@ -16,6 +16,7 @@ rewrite rule.  See ``plans/shaping.py`` for per-query plan forcing.
 from __future__ import annotations
 
 import os
+from typing import Collection
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -278,7 +279,9 @@ def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     return {e.getKey() for e in jmap.entrySet().toArray()}
 
 
-def release_persisted(spark: SparkSession, keep_ids: set[int] = frozenset()) -> None:
+def release_persisted(
+    spark: SparkSession, keep_ids: Collection[int] = frozenset()
+) -> None:
     """Unpersist every persisted RDD not in ``keep_ids`` (blocking).
 
     localCheckpoint marks its RDD persisted (MEMORY_AND_DISK); once the
@@ -292,13 +295,15 @@ def release_persisted(spark: SparkSession, keep_ids: set[int] = frozenset()) -> 
     strictly off any measurement clock; pass ``keep_ids`` from
     ``persistent_rdd_ids`` to protect deliberately cached tables
     (from_memory mode)."""
+    from py4j.protocol import Py4JJavaError
+
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     for e in jmap.entrySet().toArray():
         if e.getKey() not in keep_ids:
             try:
                 e.getValue().unpersist(True)
-            except Exception:  # noqa: BLE001 — already released is fine
-                pass
+            except Py4JJavaError:  # already released concurrently is fine;
+                pass  # anything non-JVM (connection death) propagates
 
 
 #: (session id, table name) -> (sf_dir, DataFrame) for views already

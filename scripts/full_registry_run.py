@@ -33,6 +33,7 @@ from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
 from datafusion_parallelism_spark.session import (  # noqa: E402
     benchmark_session,
     force_execute,
+    persistent_rdd_ids,
     release_persisted,
 )
 
@@ -42,7 +43,15 @@ def main() -> int:
     out_path = sys.argv[2] if len(sys.argv) > 2 else None
     only = sys.argv[3:]
     spark = benchmark_session(sf_dir, app_name="full-registry-run")
+    # Snapshot deliberately-cached tables (from_memory-style sessions) so
+    # the between-query release below never unpersists them (mirrors
+    # bench.py's keep_ids protocol).
+    keep_ids = frozenset(persistent_rdd_ids(spark))
 
+    # Protocol (round 6): FIXED alphabetical order, so each query's
+    # position — and therefore its exposure to any residual cross-query
+    # session state — is comparable round-over-round without isolated
+    # re-measure appendices (cf. docs/full_registry_x64_r5_notes.md).
     names = sorted(REGISTRY)
     if only:
         names = [n for n in names if any(f in n for f in only)]
@@ -68,7 +77,7 @@ def main() -> int:
         # Off the clock: drop the finished query's localCheckpoint blocks so
         # late-position queries don't run under block-manager eviction churn
         # (the cross-query inflation documented in bench.py's docstring).
-        release_persisted(spark)
+        release_persisted(spark, keep_ids)
     if out_f:
         out_f.close()
     print(f"done: {len(names) - len(failed)}/{len(names)} ok", flush=True)

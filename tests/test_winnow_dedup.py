@@ -18,6 +18,7 @@ from datafusion_parallelism_spark.queries.llm import (
     WINNOW_K,
     WINNOW_W,
     winnow_fingerprints,
+    winnow_pair_counts,
 )
 
 GUARANTEE_LEN = WINNOW_K + WINNOW_W - 1  # 34 chars
@@ -122,6 +123,77 @@ def test_chunked_equals_unchunked_reference(spark):
         assert by_doc.get(i, set()) == want, (
             f"doc {i} (len {len(t)}): chunked != unchunked reference"
         )
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_df_ceiling_preserves_guarantee_below_ceiling(spark, seed):
+    """Stop-fingerprint cap semantics (round 6): a span shared by exactly
+    TWO documents (every selected fingerprint has df=2 <= ceiling) must
+    still be detected even when the corpus also carries a boilerplate
+    passage shared by MORE than `ceiling` documents — the cap may only
+    drop the boilerplate's fingerprints, never the rare span's."""
+    rng = random.Random(seed)
+    span = "".join(rng.choice(string.ascii_lowercase) for _ in range(120))
+    boiler = "".join(rng.choice(string.ascii_lowercase) for _ in range(120))
+    ceiling = 4
+
+    def filler(n):
+        return "".join(rng.choice(string.ascii_uppercase) for _ in range(n))
+
+    # docs 0,1 share `span` (df=2 for its fps); docs 0..7 all carry
+    # `boiler` (df=8 > ceiling=4 for its fps).
+    texts = [
+        filler(30) + span + filler(20) + boiler,
+        boiler + filler(55) + span,
+    ] + [filler(rng.randrange(10, 60)) + boiler + filler(15) for _ in range(6)]
+    fp = winnow_fingerprints(_docs_df(spark, texts))
+    pairs = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_pair_counts(fp, 4, ceiling=ceiling).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_pair_counts(fp, 4, ceiling=10**9).collect()
+    }
+    # The rare span (120 chars >> k+w-1) selects multiple df=2 fingerprints;
+    # the (0,1) pair must survive the cap with a healthy count.
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 2, pairs
+    # Boilerplate-only pairs (docs 2..7) must have their BULK suppressed:
+    # the boiler interior selects identical fingerprints in all 8 carriers
+    # (df=8 > ceiling -> dropped); only O(1) context-dependent EDGE
+    # fingerprints (window minima mixing boiler and doc-specific filler,
+    # selected in < ceiling docs) may survive — legitimately, since a
+    # fingerprint's df IS its selection count, the exact stop-fingerprint
+    # semantics.  Assert every such pair lost most of its count and sits
+    # below the report threshold WINNOW_T=8.
+    for p, n_uncapped in uncapped.items():
+        if p[0] >= 2 and p[1] >= 2:
+            n_capped = pairs.get(p, 0)
+            assert n_capped < 8 and n_capped <= n_uncapped - 5, (
+                f"boilerplate pair {p}: capped={n_capped} uncapped={n_uncapped}"
+            )
+
+
+def test_df_ceiling_counts_unchanged_below_ceiling(spark):
+    """For a corpus where EVERY fingerprint's df is <= ceiling, the capped
+    pair counts must be bit-identical to the uncapped ones."""
+    rng = random.Random(42)
+    span = "".join(rng.choice(string.ascii_lowercase) for _ in range(80))
+    texts = []
+    for i in range(6):
+        pre = "".join(rng.choice(string.ascii_uppercase) for _ in range(20 + 7 * i))
+        post = "".join(rng.choice(string.digits) for _ in range(35))
+        texts.append(pre + (span if i < 3 else "") + post)
+    fp = winnow_fingerprints(_docs_df(spark, texts))
+    capped = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_pair_counts(fp, 4, ceiling=6).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_pair_counts(fp, 4, ceiling=10**9).collect()
+    }
+    assert capped == uncapped and (0, 1) in capped
 
 
 def test_guaranteed_span_detected_across_chunk_boundary(spark):
