@@ -331,9 +331,13 @@ def main() -> None:
             if os.environ.get("SWEEP_DUCKDB_ISOLATE", "") == "1"
             else duckdb_wall(sf_dir, HEADLINE)
         )
+        # Every row carries an explicit phase tag (VERDICT r5 "wrong" #3:
+        # untagged full rows re-appended by a resumed driver double-count
+        # when summing the JSONL; now each row names what it is).
         row = {
             "factor": f,
             "input_mb": size_mb,
+            "phase": "spark+duckdb",
             "spark_wall_s": spark["value"],
             "duckdb_wall_s": round(
                 sum(v for v in duck.values() if isinstance(v, (int, float))), 3
