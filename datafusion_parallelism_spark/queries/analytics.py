@@ -404,11 +404,19 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL semantics (ADVICE r5): counting the VALUE column after
     distinct() — not count(lit(1)) — makes each branch match
     COUNT(DISTINCT x)'s ignore-NULLs rule when the counted column is
-    nullable.  Remaining assumption, asserted against the data: the
-    GROUP KEY l_returnflag is non-null (TPC-H guarantees it; a NULL
-    group key would be dropped by these inner equi-joins where GROUP BY
-    keeps it — use a null-safe join via eqNullSafe if that ever changes)."""
+    nullable.  The group-key joins are eqNullSafe (ADVICE r6): a NULL
+    l_returnflag forms a group under GROUP BY, and a plain equi-join
+    would silently drop it — null-safe equality keeps the rewrite
+    value-identical on arbitrary data (pinned by a NULL-group-key
+    differential test in tests/test_agg_rewrites.py), at no cost since
+    the joined sides are ≤|distinct flags| rows."""
     l = load(spark, sf_dir, "lineitem")
+    return _multi_distinct_counts(l)
+
+
+def _multi_distinct_counts(l: DataFrame) -> DataFrame:
+    """The de-Expand rewrite body, factored for differential testing on
+    synthetic (incl. NULL-bearing) inputs — see agg_count_distinct."""
     supp = (
         l.select("l_returnflag", "l_suppkey")
         .distinct()
@@ -425,11 +433,24 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Explicit broadcast: the joined sides are ≤|distinct flags| rows, but
     # static size estimates for aggregates exceed the broadcast threshold
     # and would plan SortMergeJoin (AQE converts at runtime; the hint makes
-    # the static plan right too).
+    # the static plan right too).  eqNullSafe keeps a NULL group.
+    jp = (
+        supp.alias("s")
+        .join(
+            F.broadcast(part.alias("p")),
+            F.col("s.l_returnflag").eqNullSafe(F.col("p.l_returnflag")),
+        )
+        .select(F.col("s.l_returnflag").alias("l_returnflag"), "n_supp", "n_part")
+    )
     return (
-        supp.join(F.broadcast(part), "l_returnflag")
-        .join(F.broadcast(n), "l_returnflag")
-        .select("l_returnflag", "n_supp", "n_part", "n")
+        jp.alias("sp")
+        .join(
+            F.broadcast(n.alias("t")),
+            F.col("sp.l_returnflag").eqNullSafe(F.col("t.l_returnflag")),
+        )
+        .select(
+            F.col("sp.l_returnflag").alias("l_returnflag"), "n_supp", "n_part", "n"
+        )
     )
 
 

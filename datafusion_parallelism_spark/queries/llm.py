@@ -427,6 +427,11 @@ WINNOW_CHUNK = 8192
 #: spans that are themselves boilerplate; any span containing >= k+w-1
 #: chars of below-ceiling content still fires (pinned by
 #: tests/test_winnow_dedup.py).  Mirrored in the oracle.
+#:
+#: Over-ceiling fingerprints are NOT lost: ``dedup_winnow_hot_spans``
+#: reports them through linear-cost representative pairing, so a
+#: 1000-copy duplicate cluster (every fingerprint hot) still surfaces as
+#: anchor→member pairs instead of silently vanishing from both outputs.
 WINNOW_FP_DF_CEILING = 256
 
 
@@ -488,21 +493,33 @@ def winnow_fingerprints(
     )
 
 
+def winnow_capped_fingerprints(
+    fp: DataFrame, n_part: int, ceiling: int = WINNOW_FP_DF_CEILING
+) -> DataFrame:
+    """The pre-checkpoint subtree of ``winnow_pair_counts``: repartition
+    on h, then drop fingerprints with document frequency > ceiling.  The
+    df count is a window COUNT over the same h-partitioning the pair join
+    needs, so the cap costs zero extra exchanges, exactly like
+    ``_blocked_shingle_index`` — pinned by the exchange-count assert in
+    tests/test_plan_shapes.py (the executed query plan truncates at the
+    localCheckpoint, so this subtree is what makes the claim auditable;
+    its dump is the second section of docs/plans/dedup_winnow_spans.txt)."""
+    fp = fp.repartition(n_part, "h")
+    return (
+        fp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
+        .filter(F.col("df") <= ceiling)
+        .select("doc_id", "h")
+    )
+
+
 def winnow_pair_counts(
     fp: DataFrame, n_part: int, ceiling: int = WINNOW_FP_DF_CEILING
 ) -> DataFrame:
     """(doc_a, doc_b, shared_fps) from a (doc_id, h) fingerprint table,
     pre-threshold.  Fingerprints appearing in more than ``ceiling``
     documents are dropped before the self-join (stop-fingerprint rule —
-    see WINNOW_FP_DF_CEILING); the df count is a window COUNT over the
-    same h-partitioning the join needs, so the cap costs zero extra
-    exchanges, exactly like ``_blocked_shingle_index``."""
-    fp = fp.repartition(n_part, "h")
-    fp = (
-        fp.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("h")))
-        .filter(F.col("df") <= ceiling)
-        .select("doc_id", "h")
-    )
+    see WINNOW_FP_DF_CEILING and ``winnow_capped_fingerprints``)."""
+    fp = winnow_capped_fingerprints(fp, n_part, ceiling)
     # The self-join consumes fp twice and Spark has no cross-branch CSE:
     # without a checkpoint the explode (~K-gram fan-out) + per-doc window
     # sort — the two heaviest stages — would execute twice.  Same pattern
@@ -574,6 +591,87 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     fp = winnow_fingerprints(d)
     n_part = spark.sparkContext.defaultParallelism
     return winnow_pair_counts(fp, n_part).filter(F.col("shared_fps") >= WINNOW_T)
+
+
+def winnow_hot_pair_counts(
+    fp: DataFrame, n_part: int, ceiling: int = WINNOW_FP_DF_CEILING
+) -> DataFrame:
+    """(doc_a, doc_b, shared_hot_fps) REPRESENTATIVE pairs for the
+    fingerprints ``winnow_pair_counts`` drops (df > ceiling) — the recall
+    complement to the stop-fingerprint rule.
+
+    A fingerprint shared by a million documents is exactly what span-level
+    dedup exists to find (a mass-duplicated article, Lee et al. 2022), but
+    all-pairs over it is O(df²).  Instead each hot fingerprint's documents
+    pair against ONE representative (the cluster's MIN doc_id), which is
+    O(Σ df) — linear in the fingerprint table — and still links every
+    member of a duplicate cluster to a common anchor, so downstream
+    keep-one dedup drops the same documents the quadratic join would.
+    Both windows (df count, representative min) ride the same
+    h-repartitioning; there is no self-join at all."""
+    fp = fp.repartition(n_part, "h")
+    w = Window.partitionBy("h")
+    hot = (
+        fp.withColumn("df", F.count(F.lit(1)).over(w))
+        .withColumn("rep", F.min("doc_id").over(w))
+        .filter(F.col("df") > ceiling)
+    )
+    return (
+        hot.filter(F.col("doc_id") > F.col("rep"))
+        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_hot_fps"))
+    )
+
+
+@query(
+    "dedup_winnow_hot_spans",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, pos,
+             {_phash_sql(f"substr(text, pos, {WINNOW_K})")} AS h
+      FROM documents, unnest(generate_series(1, length(text) - {WINNOW_K - 1})) AS t(pos)
+      WHERE length(text) >= {WINNOW_K}
+    ),
+    fp AS (
+      SELECT DISTINCT doc_id, wmin AS h FROM (
+        SELECT doc_id,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND {WINNOW_W - 1} FOLLOWING) AS wmin
+        FROM g)
+    ),
+    hot AS (
+      SELECT doc_id, h, rep FROM (
+        SELECT doc_id, h,
+               COUNT(*) OVER (PARTITION BY h) AS df,
+               MIN(doc_id) OVER (PARTITION BY h) AS rep
+        FROM fp
+      ) WHERE df > {WINNOW_FP_DF_CEILING}
+    )
+    SELECT rep AS doc_a, doc_id AS doc_b, COUNT(*) AS shared_hot_fps
+    FROM hot WHERE doc_id > rep
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= {WINNOW_T}
+    """,
+)
+def dedup_winnow_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-duplicated span clusters — the output ``dedup_winnow_spans``'s
+    stop-fingerprint cap intentionally excludes, reported via linear-cost
+    representative pairing (see ``winnow_hot_pair_counts``).
+
+    Together the two queries partition the winnowing signal: spans in
+    ≤ WINNOW_FP_DF_CEILING documents get exact all-pairs counts; hotter
+    spans (corpus boilerplate AND 1000-copy duplicate clusters) get
+    anchor→member pairs.  The driver corpus plants no over-ceiling
+    clusters, so this query's correctness evidence is the synthetic
+    hot-cluster tests in tests/test_winnow_dedup.py; the oracle mirrors
+    the semantics regardless."""
+    d = _docs_spread(spark, sf_dir)
+    fp = winnow_fingerprints(d)
+    n_part = spark.sparkContext.defaultParallelism
+    return winnow_hot_pair_counts(fp, n_part).filter(
+        F.col("shared_hot_fps") >= WINNOW_T
+    )
 
 
 def _minhash_sigs(d: DataFrame) -> DataFrame:

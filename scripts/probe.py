@@ -4,8 +4,9 @@
 Runs each named query in THIS process (one fresh benchmark_session), one
 cold pass + optional warm passes, releasing localCheckpoint blocks between
 queries off the clock (the consistent-harness protocol of
-docs/scale_sweep_r5.jsonl's revalidation-v2 rows).  Prints one JSON line
-per query.
+docs/scale_sweep_r5.jsonl's revalidation-v2 rows).  Each pass's wall is
+plan-build + execution, bench.py's headline protocol, with the
+plan/exec split reported alongside.  Prints one JSON line per query.
 
 Usage:
   python scripts/probe.py SF_DIR QUERY [QUERY ...]
@@ -40,24 +41,35 @@ def main() -> int:
     spark = benchmark_session(sf_dir, app_name="probe", extra_conf=extra_conf)
     keep_ids = frozenset(persistent_rdd_ids(spark))
     for name in names:
-        t0 = time.perf_counter()
-        df = REGISTRY[name].fn(spark, sf_dir)
-        force_execute(df)
-        cold = time.perf_counter() - t0
+        # Every pass times plan-build AND execution together (bench.py's
+        # headline protocol, so rows are comparable with the scale-sweep
+        # records), with the split reported separately.  The split is NOT
+        # "py4j vs compute": under AQE, a lazy localCheckpoint's toRdd
+        # materializes every upstream query stage inside fn(), so for
+        # checkpoint-bearing queries at GB factors most of the work lands
+        # in the build half — only the combined wall is protocol-stable.
+        def one_pass():
+            t0 = time.perf_counter()
+            df = REGISTRY[name].fn(spark, sf_dir)
+            t1 = time.perf_counter()
+            force_execute(df)
+            t2 = time.perf_counter()
+            return round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3)
+
+        cold_wall, cold_plan, cold_exec = one_pass()
         warms = []
         for _ in range(warm_passes):
             release_persisted(spark, keep_ids)
-            df = REGISTRY[name].fn(spark, sf_dir)
-            t0 = time.perf_counter()
-            force_execute(df)
-            warms.append(round(time.perf_counter() - t0, 3))
+            warms.append(one_pass())
         print(
             json.dumps(
                 {
                     "query": name,
                     "sf_dir": sf_dir,
-                    "cold_s": round(cold, 3),
-                    "warm_s": warms,
+                    "cold_s": cold_wall,
+                    "cold_split_s": {"plan": cold_plan, "exec": cold_exec},
+                    "warm_s": [w[0] for w in warms],
+                    "warm_split_s": [{"plan": w[1], "exec": w[2]} for w in warms],
                     "conf": extra_conf,
                 }
             ),

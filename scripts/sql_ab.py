@@ -41,21 +41,36 @@ QUERIES = ["tpch_q1", "tpch_q3", "tpch_q5", "tpch_q9", "tpch_q18", "tpch_q21"]
 PASSES = 5
 
 
+def _job_high_water(tracker) -> int:
+    """Highest job id the tracker has seen (-1 before any job runs).
+
+    ``getJobIdsForGroup(None)`` returns the ids of all jobs not associated
+    with a job group; this harness never sets one, so that is every job in
+    the session (validated at startup by ``main``)."""
+    return max(tracker.getJobIdsForGroup(None) or [], default=-1)
+
+
 def _measure(spark, build, n_passes=PASSES):
     sc = spark.sparkContext
     tracker = sc.statusTracker()
     # warm-up (codegen + broadcast caches); fresh plan per pass after
     force_execute(build())
+    # Jobs counted by diffing the statusTracker job-id high-water mark
+    # before/after the pass, NOT setJobGroup attribution: broadcast-
+    # exchange jobs run on a cached JVM thread pool whose local properties
+    # were captured at thread creation (during the ungrouped warm-up), so
+    # group attribution undercounts exactly the broadcast jobs this A/B
+    # exists to attribute the floor to.  Job ids are monotonically
+    # assigned and this harness is the only submitter in the session, so
+    # the id delta is the pass's complete job count.
     walls, jobs = [], []
     for i in range(n_passes):
         df = build()  # plan build OFF the clock (bench.py protocol)
-        group = f"sqlab-{time.monotonic_ns()}"
-        sc.setJobGroup(group, "sql_ab pass")
+        before = _job_high_water(tracker)
         t0 = time.perf_counter()
         force_execute(df)
         walls.append(time.perf_counter() - t0)
-        sc.setJobGroup(None, None)
-        jobs.append(len(tracker.getJobIdsForGroup(group)))
+        jobs.append(_job_high_water(tracker) - before)
     return round(statistics.mean(walls), 3), jobs[0]
 
 
@@ -63,6 +78,14 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     spark = benchmark_session(sf_dir, app_name="sql-ab")
     register_tables(spark, sf_dir)
+    # Sanity-check the job-counting mechanism: an ungrouped action must be
+    # visible to getJobIdsForGroup(None), else every count below is 0.
+    tracker = spark.sparkContext.statusTracker()
+    before = _job_high_water(tracker)
+    spark.range(10).count()
+    assert _job_high_water(tracker) > before, (
+        "statusTracker job-id diffing sees no jobs; counting is broken"
+    )
     for name in QUERIES:
         spec = REGISTRY[name]
         df_wall, df_jobs = _measure(spark, lambda: spec.fn(spark, sf_dir))

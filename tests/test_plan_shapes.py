@@ -398,6 +398,29 @@ def test_winnow_fingerprints_window_is_chunk_partitioned(spark):
     assert spec and "doc_id" in spec.group(1) and "chk" in spec.group(1), plan
 
 
+def test_winnow_capped_fingerprints_df_window_rides_join_partitioning(spark):
+    """The stop-fingerprint cap (round 6) must cost ZERO exchanges beyond
+    what the uncapped pipeline already shuffles: the df-count window runs
+    over the same hashpartitioning(h) the pair self-join consumes.  The
+    executed query plan truncates at the localCheckpoint, so this pins the
+    pre-checkpoint subtree directly — exactly three exchanges total:
+    (doc_id, chk) for the winnowing window sort, (doc_id, h) for the
+    fingerprint distinct, and h for the repartition the df window and
+    join both ride."""
+    from datafusion_parallelism_spark.queries.llm import (
+        winnow_capped_fingerprints,
+        winnow_fingerprints,
+    )
+
+    d = spark.createDataFrame(
+        [(1, "x" * 200), (2, "y" * 500), (3, "x" * 150)], "doc_id long, text string"
+    )
+    plan = physical_plan_str(winnow_capped_fingerprints(winnow_fingerprints(d), 32))
+    assert plan.count("Exchange") == 3, plan
+    # The df window itself partitions on h and sits above the h-repartition.
+    assert "windowspecdefinition(h#" in plan or "windowspecdefinition(h " in plan, plan
+
+
 def test_kmeans_final_plan_broadcast_assign_two_exchanges(spark, sf_dir):
     """vec_kmeans_clusters' final assignment: broadcast the K-row centroid
     table onto the (checkpointed) vector table — the corpus side must NOT

@@ -212,3 +212,68 @@ def test_guaranteed_span_detected_across_chunk_boundary(spark):
         for r in fp.collect():
             by_doc.setdefault(r.doc_id, set()).add(r.h)
         assert by_doc[0] & by_doc[1], f"boundary-straddling span missed at offset {offset}"
+
+
+def test_hot_cluster_recovered_by_representative_pairs(spark):
+    """ADVICE r6: a duplicate cluster LARGER than the df ceiling (the
+    mass-duplicated article span dedup exists to find) has all its
+    fingerprints dropped by winnow_pair_counts — winnow_hot_pair_counts
+    must recover every member as an anchor→member pair against the
+    cluster's min doc_id, at O(Σ df) cost."""
+    from datafusion_parallelism_spark.queries.llm import winnow_hot_pair_counts
+
+    rng = random.Random(7)
+    article = "".join(rng.choice(string.ascii_lowercase) for _ in range(200))
+    ceiling = 4
+    n_copies = 10  # cluster size 10 > ceiling 4
+
+    def filler(n):
+        return "".join(rng.choice(string.ascii_uppercase) for _ in range(n))
+
+    # docs 0..9 all carry `article` (df=10 for its interior fingerprints);
+    # docs 10,11 share a rare below-ceiling span and must NOT appear here.
+    rare = "".join(rng.choice(string.digits) for _ in range(80))
+    texts = [filler(rng.randrange(5, 40)) + article for _ in range(n_copies)] + [
+        filler(25) + rare,
+        rare + filler(30),
+    ]
+    fp = winnow_fingerprints(_docs_df(spark, texts))
+    hot = {
+        (r.doc_a, r.doc_b): r.shared_hot_fps
+        for r in winnow_hot_pair_counts(fp, 4, ceiling=ceiling).collect()
+    }
+    # Every cluster member links to the anchor (min doc_id = 0); the
+    # 200-char article selects many identical interior fingerprints, all
+    # with df=10 > ceiling, so each pair's count is healthy.
+    for member in range(1, n_copies):
+        assert hot.get((0, member), 0) >= 2, (member, hot)
+    # Exactly the anchor→member shape: no member↔member pairs, and the
+    # rare (df=2) span's docs never show up in the hot output.
+    assert all(a == 0 and b < n_copies for (a, b) in hot), hot
+    # The capped main output drops the cluster's interior entirely
+    # (only sub-threshold edge-fingerprint residue may remain) — i.e.
+    # the two outputs are complementary, not overlapping.
+    main = {
+        (r.doc_a, r.doc_b): r.shared_fps
+        for r in winnow_pair_counts(fp, 4, ceiling=ceiling).collect()
+    }
+    for p, n in main.items():
+        if p[0] < n_copies and p[1] < n_copies:
+            assert n < 8, (p, n)
+    assert (10, 11) in main and main[(10, 11)] >= 2, main
+
+
+def test_hot_pairs_empty_when_no_fingerprint_exceeds_ceiling(spark):
+    """Below the ceiling the hot output must be EMPTY — the representative
+    path only activates for over-ceiling fingerprints, so the two outputs
+    never double-report a pair."""
+    from datafusion_parallelism_spark.queries.llm import winnow_hot_pair_counts
+
+    rng = random.Random(11)
+    span = "".join(rng.choice(string.ascii_lowercase) for _ in range(60))
+    texts = [
+        "".join(rng.choice(string.ascii_uppercase) for _ in range(20 + 5 * i)) + span
+        for i in range(3)
+    ]
+    fp = winnow_fingerprints(_docs_df(spark, texts))
+    assert winnow_hot_pair_counts(fp, 4, ceiling=3).count() == 0
