@@ -45,7 +45,7 @@ from ..functions.text import (
     word_shingles,
 )
 from ..functions.vectors import as_double, cosine, norm
-from ..session import load, path_size, spread_for_compute
+from ..session import load, spread_for_compute
 from .registry import query
 
 # --------------------------------------------------------------------------
@@ -94,13 +94,14 @@ def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-bound (interpreted HOFs / pandas UDFs), but the corpus's
     compressed on-disk size gives the scan only a handful of row-group
     splits (3 tasks on 32 cores at 16×sf0.1 — measured 3× wall on
-    text_stats).  No-op whenever the scan already has ≥cores splits.
-    Split count comes from the stat'able file size (est_scan_partitions)
-    — no per-call RDD-conversion py4j cost."""
+    text_stats).  No-op whenever the scan already has ≥cores NON-EMPTY
+    splits: the estimate is byte-based but capped by the file's row-group
+    count (round 7 — byte splits beyond the row groups are empty tasks,
+    and trusting them serialized the gram explode onto 11 of 32 cores at
+    the x256 replica; see session.parquet_scan_tasks).  Driver-local file
+    stat + footer read — no per-call RDD-conversion py4j cost."""
     path = os.path.join(sf_dir, "documents.parquet")
-    return spread_for_compute(
-        load(spark, sf_dir, "documents"), input_bytes=path_size(path)
-    )
+    return spread_for_compute(load(spark, sf_dir, "documents"), input_path=path)
 
 
 def _lang_case_sql() -> str:

@@ -238,8 +238,36 @@ def est_scan_partitions(total_bytes: int, parallelism: int) -> int:
     return -(-total_bytes // split)
 
 
+def parquet_scan_tasks(path: str, parallelism: int) -> int:
+    """Effective parallelism of scanning one parquet file: the byte-range
+    split estimate CAPPED BY THE ROW-GROUP COUNT.
+
+    ``est_scan_partitions`` alone over-estimates on files whose row groups
+    are larger than the split size: Spark still cuts the byte range into
+    splits, but a row group is consumed whole by the split containing its
+    start offset, so at most ``num_row_groups`` tasks carry data and the
+    rest are empty.  Measured cliff (round 7): the x256 replica's
+    documents.parquet is 143 MiB -> 33 estimated splits (>= 32 cores, so
+    spread_for_compute skipped the repartition) but only 11 row groups ->
+    the gram explode ran on 11 of 32 cores with 2x per-task data, turning
+    a pure map stage x3.9 super-linear (19.7 -> 77.1 s) between x128 and
+    x256.  The footer read is driver-local pyarrow (no py4j, ~ms) — same
+    cost class as the os.stat the byte estimate already does."""
+    splits = est_scan_partitions(path_size(path), parallelism)
+    try:
+        import pyarrow.parquet as pq
+
+        groups = pq.ParquetFile(path).metadata.num_row_groups
+    except Exception:  # noqa: BLE001 — non-parquet / unreadable: bytes rule
+        return splits
+    return max(1, min(splits, groups))
+
+
 def spread_for_compute(
-    df: DataFrame, target: int | None = None, input_bytes: int | None = None
+    df: DataFrame,
+    target: int | None = None,
+    input_bytes: int | None = None,
+    input_path: str | None = None,
 ) -> DataFrame:
     """Round-robin repartition iff the plan currently has fewer partitions
     than the cluster has cores — use before CPU-bound per-row stages
@@ -251,14 +279,21 @@ def spread_for_compute(
     scan already yields ≥cores partitions (any real data size), this is a
     no-op — no shuffle is added at scale.
 
-    When ``input_bytes`` is known (callers scanning a file they can stat),
-    the split count is *estimated* with ``est_scan_partitions`` — same
-    decision, zero py4j cost.  The ``df.rdd.getNumPartitions()`` fallback
-    builds an RDD-conversion plan driver-side on every call, a fixed py4j
-    cost that dominates toy-scale measurements."""
+    When ``input_path`` names the parquet file being scanned, the split
+    estimate is capped by its row-group count (``parquet_scan_tasks``) —
+    byte-range splits beyond the row-group count are EMPTY tasks, and
+    treating them as parallelism skips the repartition exactly when a
+    big-row-group text corpus needs it most (round-7 x256 cliff; see
+    ``parquet_scan_tasks``).  ``input_bytes`` keeps the bytes-only
+    estimate for callers without a single stat-able file.  The
+    ``df.rdd.getNumPartitions()`` fallback builds an RDD-conversion plan
+    driver-side on every call, a fixed py4j cost that dominates toy-scale
+    measurements."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    if input_bytes is not None:
+    if input_path is not None:
+        current = parquet_scan_tasks(input_path, sc.defaultParallelism)
+    elif input_bytes is not None:
         current = est_scan_partitions(input_bytes, sc.defaultParallelism)
     else:
         current = df.rdd.getNumPartitions()

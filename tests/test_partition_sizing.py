@@ -46,3 +46,68 @@ def test_capped_at_4x_cores(tmp_path):
 
 def test_empty_dir_falls_back_to_cores(tmp_path):
     assert auto_shuffle_partitions(str(tmp_path), cpus=32) == 32
+
+
+def _parquet_with_row_groups(tmp_path, n_rows, rows_per_group, pad=2000):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    # Incompressible payload so the file is big enough for the byte-based
+    # split estimate to exceed the row-group count.
+    import random
+
+    rng = random.Random(0)
+    tbl = pa.table(
+        {
+            "doc_id": list(range(n_rows)),
+            "text": [
+                "".join(chr(rng.randrange(33, 127)) for _ in range(pad))
+                for _ in range(n_rows)
+            ],
+        }
+    )
+    path = str(tmp_path / "docs.parquet")
+    pq.write_table(tbl, path, row_group_size=rows_per_group)
+    return path
+
+
+def test_parquet_scan_tasks_capped_by_row_groups(tmp_path):
+    """Round-7 x256 cliff: byte-range splits beyond the row-group count are
+    EMPTY tasks — the effective-parallelism estimate must not count them,
+    else spread_for_compute skips the repartition exactly when a
+    big-row-group text corpus needs it (gram explode on 11 of 32 cores)."""
+    from datafusion_parallelism_spark.session import (
+        est_scan_partitions,
+        parquet_scan_tasks,
+        path_size,
+    )
+
+    path = _parquet_with_row_groups(
+        tmp_path, n_rows=3000, rows_per_group=1000, pad=6000
+    )
+    byte_est = est_scan_partitions(path_size(path), parallelism=32)
+    assert byte_est > 3  # ~18 MB incompressible -> bytes rule says > 3 splits
+    assert parquet_scan_tasks(path, parallelism=32) == 3  # but 3 row groups
+
+
+def test_parquet_scan_tasks_bytes_rule_when_groups_plentiful(tmp_path):
+    """Many small row groups: the byte estimate is the binding constraint
+    (row groups don't LIFT parallelism above the split count)."""
+    from datafusion_parallelism_spark.session import parquet_scan_tasks
+
+    path = _parquet_with_row_groups(
+        tmp_path, n_rows=3000, rows_per_group=10, pad=100
+    )
+    # 300 row groups but a sub-4MB file: bytes rule gives 1.
+    assert parquet_scan_tasks(path, parallelism=32) == 1
+
+
+def test_spread_for_compute_repartitions_on_row_group_bound_file(tmp_path, spark):
+    """End-to-end: a file whose byte estimate >= cores but row groups <
+    cores must get the compute repartition (the x256 documents shape)."""
+    from datafusion_parallelism_spark.session import spread_for_compute
+
+    path = _parquet_with_row_groups(tmp_path, n_rows=3000, rows_per_group=1000)
+    df = spark.read.parquet(path)
+    out = spread_for_compute(df, target=32, input_path=path)
+    assert "RoundRobinPartitioning" in out._jdf.queryExecution().executedPlan().toString()
