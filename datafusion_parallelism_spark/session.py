@@ -208,6 +208,17 @@ def benchmark_session(
     measured windows.
     """
     n_shuffle = auto_shuffle_partitions(sf_dir)
+    # Shuffle/spill codec, size-gated like AQE (round-7 A/B,
+    # docs/scale_sweep_r7.jsonl): at GB factors zstd's better ratio cuts
+    # shuffle-heavy walls (winnow exec half −27%, pagerank −6% at x256)
+    # while at sf0.1 it is noise-level (−0 to +5% on sub-second walls) —
+    # so large inputs get zstd, small ones keep lz4's lower CPU.  Codec is
+    # a context-creation conf: like every extra_conf entry it only takes
+    # effect when THIS call creates the session (getOrCreate semantics),
+    # which holds for the one-process-per-measurement harnesses.
+    extra_conf = dict(extra_conf or {})
+    if dir_size(sf_dir) >= AQE_MIN_INPUT_BYTES:
+        extra_conf.setdefault("spark.io.compression.codec", "zstd")
     spark = get_spark(
         app_name=app_name, shuffle_partitions=n_shuffle, extra_conf=extra_conf
     )
