@@ -208,20 +208,41 @@ def benchmark_session(
     measured windows.
     """
     n_shuffle = auto_shuffle_partitions(sf_dir)
-    # Shuffle/spill codec, size-gated like AQE (round-7 A/B,
-    # docs/scale_sweep_r7.jsonl): at GB factors zstd's better ratio cuts
-    # shuffle-heavy walls (winnow exec half −27%, pagerank −6% at x256)
-    # while at sf0.1 it is noise-level (−0 to +5% on sub-second walls) —
-    # so large inputs get zstd, small ones keep lz4's lower CPU.  Codec is
-    # a context-creation conf: like every extra_conf entry it only takes
+    # Shuffle/spill codec, size-gated like AQE.  Evidence is the round-7
+    # PAIRED 4-run A/B (docs/scale_sweep_r7.jsonl ab-r7-* rows, BASELINE.md
+    # §Shuffle-codec): at x256 zstd cut the shuffle-bound winnow exec half
+    # −20% (consistent 4/4) and totals −7.6%, with pagerank within noise,
+    # while at sf0.1 it is noise-level on sub-second walls — so large
+    # inputs get zstd, small ones keep lz4's lower CPU.  Codec is a
+    # context-creation conf: like every extra_conf entry it only takes
     # effect when THIS call creates the session (getOrCreate semantics),
     # which holds for the one-process-per-measurement harnesses.
     extra_conf = dict(extra_conf or {})
-    if dir_size(sf_dir) >= AQE_MIN_INPUT_BYTES:
+    want_zstd = dir_size(sf_dir) >= AQE_MIN_INPUT_BYTES
+    if want_zstd:
         extra_conf.setdefault("spark.io.compression.codec", "zstd")
     spark = get_spark(
         app_name=app_name, shuffle_partitions=n_shuffle, extra_conf=extra_conf
     )
+    # Unlike the AQE gate below (a runtime conf, corrected both directions),
+    # the codec CANNOT be changed on a live context — so when getOrCreate
+    # reused a session whose codec disagrees with this sf_dir's gated
+    # choice, say so loudly instead of silently measuring the wrong codec.
+    actual_codec = spark.sparkContext.getConf().get(
+        "spark.io.compression.codec", "lz4"
+    )
+    wanted_codec = extra_conf.get("spark.io.compression.codec", "lz4")
+    if actual_codec != wanted_codec:
+        import warnings
+
+        warnings.warn(
+            f"benchmark_session: reused SparkContext has "
+            f"spark.io.compression.codec={actual_codec} but the size gate "
+            f"for {sf_dir} wants {wanted_codec}; codec is fixed at context "
+            f"creation — restart the process for a like-for-like measurement",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     spark.conf.set("spark.sql.shuffle.partitions", str(n_shuffle))
     # Set BOTH directions: getOrCreate reuses sessions, so a small-data
     # call must not leak AQE=off into a later large-data session.
@@ -250,7 +271,7 @@ def est_scan_partitions(total_bytes: int, parallelism: int) -> int:
 
 
 def parquet_scan_tasks(path: str, parallelism: int) -> int:
-    """Effective parallelism of scanning one parquet file: the byte-range
+    """Effective parallelism of scanning a parquet table: the byte-range
     split estimate CAPPED BY THE ROW-GROUP COUNT.
 
     ``est_scan_partitions`` alone over-estimates on files whose row groups
@@ -263,12 +284,31 @@ def parquet_scan_tasks(path: str, parallelism: int) -> int:
     the gram explode ran on 11 of 32 cores with 2x per-task data, turning
     a pure map stage x3.9 super-linear (19.7 -> 77.1 s) between x128 and
     x256.  The footer read is driver-local pyarrow (no py4j, ~ms) — same
-    cost class as the os.stat the byte estimate already does."""
+    cost class as the os.stat the byte estimate already does.
+
+    ``path`` may be a directory of part files (register_tables/load support
+    that layout): row groups are summed across its ``*.parquet`` members,
+    so the cap holds on partitioned corpora too instead of silently falling
+    back to the bytes-only estimate (round-8 fix; previously a directory
+    input re-opened the r7 empty-split cliff unnoticed)."""
     splits = est_scan_partitions(path_size(path), parallelism)
     try:
         import pyarrow.parquet as pq
 
-        groups = pq.ParquetFile(path).metadata.num_row_groups
+        if os.path.isdir(path):
+            members = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+                and os.path.isfile(os.path.join(path, f))
+            ]
+            if not members:
+                return splits
+            groups = sum(
+                pq.ParquetFile(m).metadata.num_row_groups for m in members
+            )
+        else:
+            groups = pq.ParquetFile(path).metadata.num_row_groups
     except Exception:  # noqa: BLE001 — non-parquet / unreadable: bytes rule
         return splits
     return max(1, min(splits, groups))

@@ -23,14 +23,28 @@ from pyspark.sql import DataFrame, SparkSession
 from .session import TABLE_NAMES
 
 
+def table_glob(sf_dir: str, name: str) -> str | None:
+    """read_parquet-able path for table ``name`` under ``sf_dir``, or None.
+
+    ``<name>.parquet`` may be a single file (driver testdata) or a directory
+    of part files (register_tables supports both; the round-8 scale replicas
+    are multi-file) — DuckDB needs an explicit glob for the latter."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(path):
+        return f"{path}/*.parquet"
+    if os.path.exists(path):
+        return path
+    return None
+
+
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Register every driver table as a DuckDB view (driver does the same)."""
     con = duckdb.connect()
     for name in TABLE_NAMES:
-        path = os.path.join(sf_dir, f"{name}.parquet")
-        if os.path.exists(path):
+        src = table_glob(sf_dir, name)
+        if src is not None:
             con.execute(
-                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
+                f"CREATE OR REPLACE VIEW {name} AS SELECT * FROM read_parquet('{src}')"
             )
     return con
 

@@ -1,41 +1,62 @@
 #!/usr/bin/env python
 """Isolated single-query probe at any replica scale, with conf overrides.
 
-Runs each named query in THIS process (one fresh benchmark_session), one
-cold pass + optional warm passes, releasing localCheckpoint blocks between
-queries off the clock (the consistent-harness protocol of
-docs/scale_sweep_r5.jsonl's revalidation-v2 rows).  Each pass's wall is
-plan-build + execution, bench.py's headline protocol, with the
+Single mode runs each named query in THIS process (one fresh
+benchmark_session), one cold pass + optional warm passes, releasing
+localCheckpoint blocks between queries off the clock (the consistent-harness
+protocol of docs/scale_sweep_r5.jsonl's revalidation-v2 rows).  Each pass's
+wall is plan-build + execution, bench.py's headline protocol, with the
 plan/exec split reported alongside.  Prints one JSON line per query.
+
+Paired mode (``--paired A_DIR B_DIR``) is the round-8 protocol answer to
+this VM's ±20–70% cross-window drift (VERDICT r7 item 2): for each query it
+runs PROBE_PAIRS rounds of interleaved fresh-subprocess cold measurements —
+A, B, A, B, … — so every A/B ratio is computed from walls measured seconds
+apart in the SAME window (the design that made the r7 zstd A/B
+drift-immune), and reports the per-round ratios plus their median.  Fresh
+subprocesses per leg because codec/shuffle sizing are context-creation confs
+and cold fresh-session walls are the like-for-like figure at GB factors
+(warm passes carry prior-pass shuffle/broadcast residue; see BASELINE.md
+§Warm-pass caveat).
 
 Usage:
   python scripts/probe.py SF_DIR QUERY [QUERY ...]
+  python scripts/probe.py --paired A_DIR B_DIR QUERY [QUERY ...]
 Env:
   PROBE_PASSES  measured passes after the cold one (default 0 = cold only)
   PROBE_CONF    JSON dict of extra Spark confs for the session
+  PROBE_PAIRS   paired mode: interleaved A/B rounds per query (default 3)
+
+Protocol note: every output row carries ``"protocol"``.  ``probe-v2``
+(round 7+) times plan+exec together in both cold and warm passes; rows
+WITHOUT the marker (pre-round-7, e.g. scale_sweep_r5 revalidation) used
+exec-only warm_s and are NOT comparable with v2 warm values (ADVICE r7).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
+import subprocess
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from datafusion_parallelism_spark.queries import REGISTRY  # noqa: E402
-from datafusion_parallelism_spark.session import (  # noqa: E402
-    benchmark_session,
-    force_execute,
-    persistent_rdd_ids,
-    release_persisted,
-)
+#: See module docstring — bump when a field changes meaning.
+PROTOCOL = "probe-v2"
 
 
-def main() -> int:
-    sf_dir = sys.argv[1]
-    names = sys.argv[2:]
+def run_single(sf_dir: str, names: list[str]) -> int:
+    from datafusion_parallelism_spark.queries import REGISTRY
+    from datafusion_parallelism_spark.session import (
+        benchmark_session,
+        force_execute,
+        persistent_rdd_ids,
+        release_persisted,
+    )
+
     extra_conf = json.loads(os.environ.get("PROBE_CONF", "{}"))
     warm_passes = int(os.environ.get("PROBE_PASSES", "0"))
     spark = benchmark_session(sf_dir, app_name="probe", extra_conf=extra_conf)
@@ -64,6 +85,7 @@ def main() -> int:
         print(
             json.dumps(
                 {
+                    "protocol": PROTOCOL,
                     "query": name,
                     "sf_dir": sf_dir,
                     "cold_s": cold_wall,
@@ -77,6 +99,68 @@ def main() -> int:
         )
         release_persisted(spark, keep_ids)
     return 0
+
+
+def _cold_in_subprocess(sf_dir: str, name: str) -> float:
+    """One fresh-process cold wall for (sf_dir, query); PROBE_CONF inherits."""
+    env = dict(os.environ, PROBE_PASSES="0")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), sf_dir, name],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=7200,
+    )
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            rec = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if rec.get("query") == name:
+            return rec["cold_s"]
+    raise RuntimeError(
+        f"probe subprocess produced no result for {name} at {sf_dir}: "
+        f"rc={proc.returncode} {proc.stderr[-300:]!r}"
+    )
+
+
+def run_paired(a_dir: str, b_dir: str, names: list[str]) -> int:
+    pairs = int(os.environ.get("PROBE_PAIRS", "3"))
+    for name in names:
+        rounds = []
+        for i in range(pairs):
+            a = _cold_in_subprocess(a_dir, name)
+            b = _cold_in_subprocess(b_dir, name)
+            rounds.append({"a_s": a, "b_s": b, "ratio": round(b / a, 3)})
+            print(
+                f"  pair {i + 1}/{pairs} {name}: a={a:.1f}s b={b:.1f}s "
+                f"ratio={b / a:.2f}",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "protocol": PROTOCOL + "-paired",
+                    "query": name,
+                    "a_dir": a_dir,
+                    "b_dir": b_dir,
+                    "pairs": rounds,
+                    "median_ratio": round(
+                        statistics.median(r["ratio"] for r in rounds), 3
+                    ),
+                    "conf": json.loads(os.environ.get("PROBE_CONF", "{}")),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
+def main() -> int:
+    if sys.argv[1] == "--paired":
+        return run_paired(sys.argv[2], sys.argv[3], sys.argv[4:])
+    return run_single(sys.argv[1], sys.argv[2:])
 
 
 if __name__ == "__main__":

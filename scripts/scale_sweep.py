@@ -87,12 +87,33 @@ def _strides(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
     return strides
 
 
+#: Replica parquet layout (round 8, VERDICT r7 item 1).  The r2-r7 replicas
+#: were ONE DuckDB-written file per table with default ~122k-row row groups
+#: — the x256 documents file had 11 row groups, capping scan parallelism at
+#: 11 of 32 cores for every scan-bound pipeline (the pathology behind the r7
+#: winnow cliff, and a layout nothing like a real 100 TB lake of many
+#: 128 MB files).  Scaled tables are now written as a DIRECTORY of ≤128 MB
+#: part files with 32k-row row groups (documents x256: 1 file/11 groups ->
+#: ~41 groups), so replica measurements exercise the same multi-file,
+#: row-group-rich scan path a production corpus would.  Layout is recorded
+#: in .done so pre-round-8 single-file replicas regenerate instead of being
+#: silently reused.
+LAYOUT = "multifile-rg32k-v2"
+FILE_SIZE = "128MB"
+ROW_GROUP_ROWS = 32768
+
+
 def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
-    """Materialize the x{factor} replica dir; idempotent (skips if present)."""
+    """Materialize the x{factor} replica dir; idempotent (skips if present
+    at the CURRENT layout version)."""
     out = os.path.join(out_root, f"x{factor}")
     done = os.path.join(out, ".done")
-    if os.path.exists(done):
+    if os.path.exists(done) and open(done).read().strip() == LAYOUT:
         return out
+    if os.path.exists(out):
+        import shutil
+
+        shutil.rmtree(out)
     os.makedirs(out, exist_ok=True)
     con = duckdb.connect()
     strides = _strides(con, src)
@@ -131,10 +152,12 @@ def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM read_parquet('{src}/{table}.parquet'), "
             f"(SELECT unnest(range({factor})) AS copy_i)) "
-            f"TO '{out}/{table}.parquet' (FORMAT parquet)"
+            f"TO '{out}/{table}.parquet' "
+            f"(FORMAT parquet, FILE_SIZE_BYTES '{FILE_SIZE}', "
+            f"ROW_GROUP_SIZE {ROW_GROUP_ROWS})"
         )
     with open(done, "w") as f:
-        f.write("ok\n")
+        f.write(LAYOUT + "\n")
     return out
 
 
@@ -202,10 +225,14 @@ def duckdb_wall(sf_dir: str, names: list[str]) -> dict[str, float]:
     con.sql(
         f"SET memory_limit = '{os.environ.get('SWEEP_DUCKDB_MEMLIMIT', '48GB')}'"
     )
+    from datafusion_parallelism_spark.testing import table_glob
+
     for t in list(OFFSETS) + list(FIXED_TABLES):
-        con.sql(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        src_path = table_glob(sf_dir, t)  # file OR directory of part files
+        if src_path is not None:
+            con.sql(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src_path}')"
+            )
     times: dict[str, float] = {}
     for name in names:
         if name in skip:
@@ -296,15 +323,9 @@ def main() -> None:
     rows = []
     for f in factors:
         sf_dir = SRC if f == 1 else generate(f)
-        size_mb = round(
-            sum(
-                os.path.getsize(os.path.join(sf_dir, p))
-                for p in os.listdir(sf_dir)
-                if p.endswith(".parquet")
-            )
-            / 1e6,
-            1,
-        )
+        from datafusion_parallelism_spark.session import dir_size
+
+        size_mb = round(dir_size(sf_dir) / 1e6, 1)  # handles dir-per-table
         # Spark first: its scaling curve is the sweep's primary subject;
         # the DuckDB pass (which dominates wall at GB factors) follows.
         spark = spark_wall(sf_dir)

@@ -103,11 +103,62 @@ def test_parquet_scan_tasks_bytes_rule_when_groups_plentiful(tmp_path):
 
 
 def test_spread_for_compute_repartitions_on_row_group_bound_file(tmp_path, spark):
-    """End-to-end: a file whose byte estimate >= cores but row groups <
-    cores must get the compute repartition (the x256 documents shape)."""
-    from datafusion_parallelism_spark.session import spread_for_compute
+    """End-to-end x256-cliff shape: byte estimate >= target > row groups.
 
-    path = _parquet_with_row_groups(tmp_path, n_rows=3000, rows_per_group=1000)
+    The pre-fix code (bytes-only estimate) sees current >= target and SKIPS
+    the repartition — exactly the r7 cliff — so this test fails without the
+    row-group cap.  The ~18 MB file yields 5 byte-splits on 32-way
+    parallelism; target 4 sits strictly between the byte estimate and the
+    3 row groups, reproducing the cliff ordering without a >=128 MB fixture
+    (ADVICE r7: the earlier target=32 version passed pre-fix too, because
+    2 byte-splits were already < 32)."""
+    from datafusion_parallelism_spark.session import (
+        est_scan_partitions,
+        parquet_scan_tasks,
+        path_size,
+        spread_for_compute,
+    )
+
+    path = _parquet_with_row_groups(
+        tmp_path, n_rows=3000, rows_per_group=1000, pad=6000
+    )
+    target = 4
+    byte_est = est_scan_partitions(path_size(path), parallelism=32)
+    assert byte_est >= target > 3  # the cliff ordering this test exists for
+    assert parquet_scan_tasks(path, parallelism=32) == 3
     df = spark.read.parquet(path)
-    out = spread_for_compute(df, target=32, input_path=path)
+    out = spread_for_compute(df, target=target, input_path=path)
     assert "RoundRobinPartitioning" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_scan_tasks_sums_row_groups_across_directory(tmp_path):
+    """A directory of part files (the register_tables layout, and the
+    round-8 multi-file scale replicas) must keep the row-group cap by
+    summing footers across members — previously a directory raised inside
+    pyarrow and the bytes-only estimate silently returned, re-opening the
+    r7 empty-split cliff on partitioned corpora (ADVICE r7)."""
+    from datafusion_parallelism_spark.session import (
+        est_scan_partitions,
+        parquet_scan_tasks,
+        path_size,
+    )
+
+    table_dir = tmp_path / "docs.parquet"
+    table_dir.mkdir()
+    for i in range(2):
+        _parquet_with_row_groups(
+            table_dir, n_rows=3000, rows_per_group=1000, pad=6000
+        )
+        (table_dir / "docs.parquet").rename(table_dir / f"part-{i}.parquet")
+    path = str(table_dir)
+    byte_est = est_scan_partitions(path_size(path), parallelism=32)
+    assert byte_est > 6  # bytes rule alone over-counts (~36 MB -> 9 splits)
+    assert parquet_scan_tasks(path, parallelism=32) == 6  # 3 groups x 2 files
+
+
+def test_parquet_scan_tasks_empty_directory_falls_back_to_bytes(tmp_path):
+    from datafusion_parallelism_spark.session import parquet_scan_tasks
+
+    d = tmp_path / "empty.parquet"
+    d.mkdir()
+    assert parquet_scan_tasks(str(d), parallelism=32) == 1
