@@ -25,6 +25,14 @@ def replica(tmp_path_factory):
     return scale_sweep.generate(3, src=SRC, out_root=out_root)
 
 
+def tpath(root, t):
+    """DuckDB-readable path for table ``t`` under ``root``: scaled replica
+    tables are DIRECTORIES of part files since the multifile-rg32k layout
+    (scale_sweep.LAYOUT); dims and driver testdata stay single files."""
+    p = f"{root}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def q1(sql):
     return duckdb.sql(sql).fetchone()[0]
 
@@ -32,13 +40,13 @@ def q1(sql):
 def test_fact_tables_scale_linearly(replica):
     for t in ("lineitem", "orders", "customer", "events", "documents", "embeddings"):
         n_src = q1(f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'")
-        n_rep = q1(f"SELECT COUNT(*) FROM '{replica}/{t}.parquet'")
+        n_rep = q1(f"SELECT COUNT(*) FROM '{tpath(replica, t)}'")
         assert n_rep == 3 * n_src, t
 
 
 def test_dims_stay_fixed(replica):
     for t in ("nation", "region"):
-        assert q1(f"SELECT COUNT(*) FROM '{replica}/{t}.parquet'") == q1(
+        assert q1(f"SELECT COUNT(*) FROM '{tpath(replica, t)}'") == q1(
             f"SELECT COUNT(*) FROM '{SRC}/{t}.parquet'"
         )
 
@@ -51,15 +59,15 @@ def test_joins_scale_linearly(replica):
         f"JOIN '{SRC}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"
     )
     j_rep = q1(
-        f"SELECT COUNT(*) FROM '{replica}/lineitem.parquet' l "
-        f"JOIN '{replica}/orders.parquet' o ON l.l_orderkey = o.o_orderkey"
+        f"SELECT COUNT(*) FROM '{tpath(replica, 'lineitem')}' l "
+        f"JOIN '{tpath(replica, 'orders')}' o ON l.l_orderkey = o.o_orderkey"
     )
     assert j_rep == 3 * j_src
 
 
 def test_keys_do_not_collide_across_copies(replica):
     assert q1(
-        f"SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM '{replica}/orders.parquet'"
+        f"SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM '{tpath(replica, 'orders')}'"
     ) == 0
 
 
@@ -70,7 +78,7 @@ def test_document_text_perturbed_per_copy(replica):
     n_src = q1(f"SELECT COUNT(*) FROM '{SRC}/documents.parquet'")
     dup_groups = q1(
         f"SELECT COALESCE(SUM(c - 1), 0) FROM ("
-        f"SELECT COUNT(*) AS c FROM '{replica}/documents.parquet' "
+        f"SELECT COUNT(*) AS c FROM '{tpath(replica, 'documents')}' "
         f"GROUP BY md5(text) HAVING COUNT(*) > 1)"
     )
     src_dups = q1(
@@ -83,7 +91,7 @@ def test_document_text_perturbed_per_copy(replica):
     # same way within a copy: 3 groups of size g).
     assert dup_groups == 3 * src_dups, (dup_groups, src_dups)
     copy0 = q1(
-        f"SELECT COUNT(*) FROM '{replica}/documents.parquet' r "
+        f"SELECT COUNT(*) FROM '{tpath(replica, 'documents')}' r "
         f"JOIN '{SRC}/documents.parquet' s USING (doc_id) WHERE r.text = s.text"
     )
     assert copy0 == n_src
