@@ -93,14 +93,28 @@ def _strides(con: duckdb.DuckDBPyConnection, src: str) -> dict[str, int]:
 #: 11 of 32 cores for every scan-bound pipeline (the pathology behind the r7
 #: winnow cliff, and a layout nothing like a real 100 TB lake of many
 #: 128 MB files).  Scaled tables are now written as a DIRECTORY of ≤128 MB
-#: part files with 32k-row row groups (documents x256: 1 file/11 groups ->
-#: ~41 groups), so replica measurements exercise the same multi-file,
-#: row-group-rich scan path a production corpus would.  Layout is recorded
-#: in .done so pre-round-8 single-file replicas regenerate instead of being
-#: silently reused.
-LAYOUT = "multifile-rg32k-v2"
+#: part files, with row-group size chosen PER TABLE (v3): a flat 32k-row
+#: group (the first v2 attempt) gave documents its 38 groups but shredded
+#: lineitem x128 into 2,883 groups / ~37k column chunks, and the x128
+#: bench pass read 821.8 s vs 520.9 on the old layout (tpch_q21 105 s vs
+#: 14.8).  v3 targets ~128 row groups per table — enough that every scan
+#: parallelizes past 32 cores at the measured factors — clamped to
+#: [8192, 122880] rows so small tables get fine groups (documents x256:
+#: ~128 groups) while big facts keep the default granularity (lineitem
+#: x256: ~1,250 groups, same 122,880 rows/group DuckDB writes by default).
+#: Layout is recorded in .done so older replicas regenerate instead of
+#: being silently reused.
+LAYOUT = "multifile-pertable-rg-v3"
 FILE_SIZE = "128MB"
-ROW_GROUP_ROWS = 32768
+ROW_GROUP_ROWS_MIN = 8192
+ROW_GROUP_ROWS_MAX = 122880  # DuckDB COPY default
+TARGET_ROW_GROUPS = 128
+
+
+def row_group_rows(n_rows: int) -> int:
+    """Per-table replica row-group size: ~TARGET_ROW_GROUPS groups,
+    clamped to [ROW_GROUP_ROWS_MIN, ROW_GROUP_ROWS_MAX] rows."""
+    return max(ROW_GROUP_ROWS_MIN, min(ROW_GROUP_ROWS_MAX, n_rows // TARGET_ROW_GROUPS))
 
 
 def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
@@ -148,13 +162,17 @@ def generate(factor: int, src: str = SRC, out_root: str = OUT_ROOT) -> str:
                 )
             else:
                 exprs.append(c)
+        (n_src,) = con.sql(
+            f"SELECT COUNT(*) FROM read_parquet('{src}/{table}.parquet')"
+        ).fetchone()
+        rg_rows = row_group_rows(int(n_src) * factor)
         con.sql(
             f"COPY (SELECT {', '.join(exprs)} "
             f"FROM read_parquet('{src}/{table}.parquet'), "
             f"(SELECT unnest(range({factor})) AS copy_i)) "
             f"TO '{out}/{table}.parquet' "
             f"(FORMAT parquet, FILE_SIZE_BYTES '{FILE_SIZE}', "
-            f"ROW_GROUP_SIZE {ROW_GROUP_ROWS})"
+            f"ROW_GROUP_SIZE {rg_rows})"
         )
     with open(done, "w") as f:
         f.write(LAYOUT + "\n")
