@@ -26,6 +26,10 @@ Env:
   PROBE_PASSES  measured passes after the cold one (default 0 = cold only)
   PROBE_CONF    JSON dict of extra Spark confs for the session
   PROBE_PAIRS   paired mode: interleaved A/B rounds per query (default 3)
+  PROBE_PLAN=1  single mode: also emit a compact signature of the final
+                (post-AQE) executed plan per pass — operator names with
+                join strategies/types, scans, and exchange count — for
+                diagnosing bimodal walls caused by runtime plan flips
 
 Protocol note: every output row carries ``"protocol"``.  ``probe-v2``
 (round 7+) times plan+exec together in both cold and warm passes; rows
@@ -46,6 +50,36 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 #: See module docstring — bump when a field changes meaning.
 PROTOCOL = "probe-v2"
+
+
+def plan_signature(df) -> list[str]:
+    """Compact final-plan signature: one entry per physical operator line
+    that names a strategy decision (joins, aggregates, exchanges, scans,
+    sorts).  Read AFTER execution so AQE's re-planned operators — not the
+    initial plan — are what gets recorded."""
+    text = df._jdf.queryExecution().executedPlan().toString()
+    keep = (
+        "Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
+        "Exchange", "Sort ", "Scan parquet", "AQEShuffleRead", "Expand",
+    )
+    import re
+
+    sig = []
+    for line in text.splitlines():
+        stripped = line.lstrip(" +-*:(0123456789)")
+        if any(k in stripped for k in keep):
+            op = stripped.split("[")[0].split(",")[0].strip()
+            # join lines: re-attach the type and build-side tokens that
+            # live after the key lists (e.g. "LeftAnti, BuildRight")
+            extras = re.findall(
+                r"\b(Inner|LeftOuter|RightOuter|FullOuter|LeftSemi|LeftAnti|"
+                r"ExistenceJoin|Cross|BuildLeft|BuildRight)\b",
+                stripped,
+            )
+            if extras:
+                op = f"{op} {' '.join(dict.fromkeys(extras))}"
+            sig.append(op[:100])
+    return sig
 
 
 def run_single(sf_dir: str, names: list[str]) -> int:
@@ -69,34 +103,46 @@ def run_single(sf_dir: str, names: list[str]) -> int:
         # materializes every upstream query stage inside fn(), so for
         # checkpoint-bearing queries at GB factors most of the work lands
         # in the build half — only the combined wall is protocol-stable.
+        # PROBE_PLAN diagnostic mode: execute via .collect() on the df's
+        # OWN QueryExecution (force_execute's noop write plans a separate
+        # one, whose final adaptive plan is unreachable afterwards), then
+        # read the post-AQE executed plan.  Walls in this mode include row
+        # collection and are NOT protocol-comparable with probe-v2 rows —
+        # it exists to diagnose bimodal walls by comparing plan signatures
+        # across passes/JVMs, not to produce records.
+        want_plan = os.environ.get("PROBE_PLAN", "") == "1"
+
         def one_pass():
             t0 = time.perf_counter()
             df = REGISTRY[name].fn(spark, sf_dir)
             t1 = time.perf_counter()
-            force_execute(df)
+            if want_plan:
+                df.collect()
+            else:
+                force_execute(df)
             t2 = time.perf_counter()
-            return round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3)
+            sig = plan_signature(df) if want_plan else None
+            return round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3), sig
 
-        cold_wall, cold_plan, cold_exec = one_pass()
+        cold_wall, cold_plan, cold_exec, cold_sig = one_pass()
         warms = []
         for _ in range(warm_passes):
             release_persisted(spark, keep_ids)
             warms.append(one_pass())
-        print(
-            json.dumps(
-                {
-                    "protocol": PROTOCOL,
-                    "query": name,
-                    "sf_dir": sf_dir,
-                    "cold_s": cold_wall,
-                    "cold_split_s": {"plan": cold_plan, "exec": cold_exec},
-                    "warm_s": [w[0] for w in warms],
-                    "warm_split_s": [{"plan": w[1], "exec": w[2]} for w in warms],
-                    "conf": extra_conf,
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "protocol": PROTOCOL + ("-plan" if want_plan else ""),
+            "query": name,
+            "sf_dir": sf_dir,
+            "cold_s": cold_wall,
+            "cold_split_s": {"plan": cold_plan, "exec": cold_exec},
+            "warm_s": [w[0] for w in warms],
+            "warm_split_s": [{"plan": w[1], "exec": w[2]} for w in warms],
+            "conf": extra_conf,
+        }
+        if want_plan:
+            rec["cold_plan_sig"] = cold_sig
+            rec["warm_plan_sigs"] = [w[3] for w in warms]
+        print(json.dumps(rec), flush=True)
         release_persisted(spark, keep_ids)
     return 0
 
