@@ -267,12 +267,41 @@ def _blocked_shingle_index(d: DataFrame, n_part: int) -> DataFrame:
     (co-partitions both self-join aliases) with stop-shingles above
     SHINGLE_DF_CEILING removed.  The df filter is a window COUNT over the
     same s-partitioning the join needs — zero extra exchanges."""
-    sh = _shingle_table(d).repartition(n_part, "s")
+    return _blocked_index_from_arrays(_doc_shingles(d), n_part)
+
+
+def _blocked_index_from_arrays(arrays: DataFrame, n_part: int) -> DataFrame:
+    """``_blocked_shingle_index`` starting from an already-built
+    (doc_id, shingles, n) table — lets callers that ALSO need the per-doc
+    set sizes share one tokenize+shingle pass instead of two."""
+    sh = arrays.select("doc_id", F.explode("shingles").alias("s")).repartition(
+        n_part, "s"
+    )
     return (
         sh.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("s")))
         .filter(F.col("df") <= SHINGLE_DF_CEILING)
         .select("doc_id", "s")
     )
+
+
+def _shared_shingle_arrays(d: DataFrame) -> DataFrame:
+    """(doc_id, shingles, n), lazily checkpointed for multi-consumer plans.
+
+    The Jaccard/containment scorers consume the shingle computation TWICE —
+    once exploded into the pair self-join, once as per-doc set sizes for
+    the denominator — and Spark has no cross-branch CSE, so without a
+    checkpoint the scan+tokenize+shingle pass runs twice (same reasoning
+    as the winnowing fingerprint checkpoint above).  The round-8 x256
+    stage decomposition (docs/scale_sweep_r8.jsonl decomp rows) put that
+    pass at ~23 s of the 90 s total; sharing it through a lazy
+    localCheckpoint saves the second execution at the cost of
+    materializing the gram arrays (MEMORY_AND_DISK, spills instead of
+    OOM).  ``SPARK_GRAFT_JACCARD_NO_SHARE=1`` restores the recompute
+    shape — kept as the measurement kill-switch for paired A/Bs."""
+    arrays = _doc_shingles(d)
+    if os.environ.get("SPARK_GRAFT_JACCARD_NO_SHARE", "") == "1":
+        return arrays
+    return arrays.localCheckpoint(eager=False)
 
 
 #: Stop-shingle document-frequency ceiling for the pair self-joins.  The
@@ -338,7 +367,8 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured 49.6 → 45.5 s at 16×; +input spread → 33.1 s, vs DuckDB
     # 45.9 s for the identical algorithm).
     n_part = spark.sparkContext.defaultParallelism
-    sh = _blocked_shingle_index(d, n_part)
+    arrays = _shared_shingle_arrays(d)
+    sh = _blocked_index_from_arrays(arrays, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -346,7 +376,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = _doc_shingles(d).select("doc_id", "n")
+    cnt = arrays.select("doc_id", "n")
     jac = F.round(F.col("c") / (F.col("ca.n") + F.col("cb.n") - F.col("c")), 4)
     return (
         shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
@@ -388,7 +418,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     for hot shingles."""
     d = _docs_spread(spark, sf_dir)
     n_part = spark.sparkContext.defaultParallelism
-    sh = _blocked_shingle_index(d, n_part)
+    arrays = _shared_shingle_arrays(d)
+    sh = _blocked_index_from_arrays(arrays, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -396,7 +427,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    cnt = _doc_shingles(d).select("doc_id", "n")
+    cnt = arrays.select("doc_id", "n")
     cont = F.round(F.col("c") / F.least(F.col("ca.n"), F.col("cb.n")), 4)
     return (
         shared.join(cnt.alias("ca"), F.col("ca.doc_id") == F.col("doc_a"))
