@@ -335,6 +335,13 @@ def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--duck-one":
         _duck_one(sys.argv[2], sys.argv[3])
         return
+    if len(sys.argv) >= 3 and sys.argv[1] == "--generate-only":
+        # documented entry for harnesses that need the replica but not the
+        # sweep (full_registry_run.py's usage line referenced this mode
+        # before it existed)
+        for a in sys.argv[2:]:
+            print(generate(int(a)))
+        return
     factors = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8, 16]
     from bench import HEADLINE
 
