@@ -9,9 +9,13 @@ one JSON line per stage.
 
 Round-8 subject (VERDICT r7 item 3): dedup_ngram_jaccard at x256 is the
 biggest non-graph line (127 s cold, scale_sweep_r7.jsonl) and has never had
-a stage decomposition.
+a stage decomposition.  Round-9 subject (VERDICT r8 item 1): the ``chain``
+pipeline decomposes join_inner_chain's ×2.81 decade leg join-by-join.
 
-Usage: python scripts/decomp.py SF_DIR {jaccard|winnow} [FACTOR_LABEL]
+Usage: python scripts/decomp.py SF_DIR {jaccard|winnow|chain}
+Env:   DECOMP_METRICS=1  enable the Spark UI and attach per-Spark-stage
+       shuffle read/write, spill, and input bytes (REST API) to each
+       prefix's JSON row — the spill evidence VERDICT r8 item 1 asks for.
 """
 
 from __future__ import annotations
@@ -29,7 +33,16 @@ PROTOCOL = "decomp-v1"
 
 
 def jaccard_stages(spark, sf_dir):
-    """Cumulative prefixes of dedup_ngram_jaccard (queries/llm.py)."""
+    """Cumulative prefixes of dedup_ngram_jaccard's NO_SHARE shape.
+
+    These stages decompose the PRE-round-8 plan — a fresh
+    ``_blocked_shingle_index`` plus a fresh ``_doc_shingles`` denominator —
+    i.e. the recompute shape whose duplicated scan+tokenize+shingle pass the
+    r8 shared-checkpoint fix removed (queries/llm.py:287).  That is what the
+    r8 investigation needed (it produced the finding), but it is NOT the
+    shipped plan anymore: to compare decomp rows against a live run, set
+    ``SPARK_GRAFT_JACCARD_NO_SHARE=1`` so the product runs this same shape
+    (ADVICE r8 #2)."""
     from datafusion_parallelism_spark.queries.llm import (
         JACCARD_THRESHOLD,
         _blocked_shingle_index,
@@ -106,7 +119,102 @@ def winnow_stages(spark, sf_dir):
     ]
 
 
-PIPELINES = {"jaccard": jaccard_stages, "winnow": winnow_stages}
+def chain_stages(spark, sf_dir):
+    """Cumulative prefixes of join_inner_chain (queries/joins.py:46) — the
+    reference's canonical 4-chain join (src/lib.rs:72-82).  Round-9 subject
+    (VERDICT r8 item 1): its x128→x256 decade leg was ×2.81, the only
+    >×2.3 leg on the v3 layout, and sort is n·log n — more than log-factor
+    growth needs a stage-level explanation or a fix.
+
+    Each prefix SELECTs only the columns the full query still needs at that
+    point, so Catalyst's column pruning under the noop write matches the
+    shipped plan's (a bare prefix write would drag every joined column
+    through the shuffle and decompose a different, wider query)."""
+    from datafusion_parallelism_spark.operators.joins import equi_join
+    from datafusion_parallelism_spark.queries.joins import join_inner_chain
+    from datafusion_parallelism_spark.session import load
+
+    price = [F.col("l_extendedprice"), F.col("l_discount")]
+
+    def scan():
+        return load(spark, sf_dir, "lineitem").select("l_orderkey", *price)
+
+    def join_orders():
+        j = equi_join(
+            scan(),
+            load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+            [("l_orderkey", "o_orderkey")],
+        )
+        return j.select("o_custkey", *price)
+
+    def join_customer():
+        j = equi_join(
+            join_orders(),
+            load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey"),
+            [("o_custkey", "c_custkey")],
+        )
+        return j.select("c_nationkey", *price)
+
+    def join_dims():
+        j = equi_join(
+            join_customer(),
+            F.broadcast(load(spark, sf_dir, "nation")),
+            [("c_nationkey", "n_nationkey")],
+        )
+        j = equi_join(
+            j,
+            F.broadcast(load(spark, sf_dir, "region")),
+            [("n_regionkey", "r_regionkey")],
+        )
+        return j.select("n_name", "r_name", *price)
+
+    return [
+        ("scan_lineitem", scan),
+        ("join_orders", join_orders),
+        ("join_customer", join_customer),
+        ("join_dims", join_dims),
+        ("agg", lambda: join_inner_chain(spark, sf_dir)),
+    ]
+
+
+PIPELINES = {
+    "jaccard": jaccard_stages,
+    "winnow": winnow_stages,
+    "chain": chain_stages,
+}
+
+
+def _stage_metrics(spark) -> dict[int, dict]:
+    """Per-stage executor metrics from the live UI's REST API (the decomp
+    session enables the UI for exactly this; AppStatusStore has no stable
+    py4j surface).  Returns {stageId: {...}} for completed stages."""
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return {}
+    with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10) as r:
+        app_id = json.load(r)[0]["id"]
+    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
+    with urllib.request.urlopen(url, timeout=10) as r:
+        stages = json.load(r)
+    out = {}
+    for s in stages:
+        out[s["stageId"]] = {
+            "name": s["name"].split("\n")[0][:60],
+            "tasks": s["numCompleteTasks"],
+            "run_ms": s["executorRunTime"],
+            "cpu_ms": s["executorCpuTime"] // 1_000_000,
+            "gc_ms": s["jvmGcTime"],
+            "shuffle_write_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
+            "shuffle_read_mb": round(s["shuffleReadBytes"] / 1e6, 1),
+            "shuffle_write_rows": s["shuffleWriteRecords"],
+            "spill_mem_mb": round(s["memoryBytesSpilled"] / 1e6, 1),
+            "spill_disk_mb": round(s["diskBytesSpilled"] / 1e6, 1),
+            "input_mb": round(s["inputBytes"] / 1e6, 1),
+            "peak_exec_mem_mb": round(s["peakExecutionMemory"] / 1e6, 1),
+        }
+    return out
 
 
 def main() -> int:
@@ -118,24 +226,53 @@ def main() -> int:
         release_persisted,
     )
 
-    spark = benchmark_session(sf_dir, app_name=f"decomp-{pipeline}")
+    want_metrics = os.environ.get("DECOMP_METRICS", "") == "1"
+    extra_conf = json.loads(os.environ.get("DECOMP_CONF", "{}"))
+    if want_metrics:
+        extra_conf["spark.ui.enabled"] = "true"
+    spark = benchmark_session(
+        sf_dir, app_name=f"decomp-{pipeline}", extra_conf=extra_conf
+    )
     keep_ids = frozenset(persistent_rdd_ids(spark))
+    seen_stage_ids: set[int] = set()
     for stage, build in PIPELINES[pipeline](spark, sf_dir):
         t0 = time.perf_counter()
         force_execute(build())
         wall = round(time.perf_counter() - t0, 3)
-        print(
-            json.dumps(
-                {
-                    "protocol": PROTOCOL,
-                    "pipeline": pipeline,
-                    "sf_dir": sf_dir,
-                    "stage": stage,
-                    "wall_s": wall,
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "protocol": PROTOCOL,
+            "pipeline": pipeline,
+            "sf_dir": sf_dir,
+            "stage": stage,
+            "wall_s": wall,
+        }
+        if want_metrics:
+            # Attribute ONLY the Spark stages this prefix ran (new ids since
+            # the previous snapshot); sums answer "where did the bytes go",
+            # the per-stage rows answer "which exchange spilled".
+            all_stages = _stage_metrics(spark)
+            mine = {
+                k: v for k, v in all_stages.items() if k not in seen_stage_ids
+            }
+            seen_stage_ids.update(all_stages)
+            rec["spark_stages"] = sorted(
+                (dict(v, stage_id=k) for k, v in mine.items()),
+                key=lambda r: -r["run_ms"],
+            )
+            rec["totals"] = {
+                m: round(sum(v[m] for v in mine.values()), 1)
+                for m in (
+                    "run_ms",
+                    "cpu_ms",
+                    "gc_ms",
+                    "shuffle_write_mb",
+                    "shuffle_read_mb",
+                    "spill_mem_mb",
+                    "spill_disk_mb",
+                    "input_mb",
+                )
+            }
+        print(json.dumps(rec), flush=True)
         release_persisted(spark, keep_ids)
     return 0
 

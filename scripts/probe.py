@@ -22,6 +22,10 @@ and cold fresh-session walls are the like-for-like figure at GB factors
 Usage:
   python scripts/probe.py SF_DIR QUERY [QUERY ...]
   python scripts/probe.py --paired A_DIR B_DIR QUERY [QUERY ...]
+  python scripts/probe.py --paired-conf SF_DIR CONF_A CONF_B QUERY [QUERY ...]
+    (CONF_A/CONF_B are JSON dicts of Spark confs; same interleaved
+    fresh-subprocess protocol, one dir, two configurations — for conf
+    A/Bs that must be drift-immune, e.g. the r9 AQE-coalesce experiment)
 Env:
   PROBE_PASSES  measured passes after the cold one (default 0 = cold only)
   PROBE_CONF    JSON dict of extra Spark confs for the session
@@ -56,8 +60,14 @@ def plan_signature(df) -> list[str]:
     """Compact final-plan signature: one entry per physical operator line
     that names a strategy decision (joins, aggregates, exchanges, scans,
     sorts).  Read AFTER execution so AQE's re-planned operators — not the
-    initial plan — are what gets recorded."""
+    initial plan — are what gets recorded.  AdaptiveSparkPlan.toString()
+    prints BOTH sections ("== Final Plan ==" then "== Initial Plan ==");
+    truncate at the initial-plan header so pre-AQE operators (e.g. the
+    SortMergeJoin a runtime broadcast replaced) never leak into the
+    signature and mask the very plan flips this mode exists to catch
+    (ADVICE r8)."""
     text = df._jdf.queryExecution().executedPlan().toString()
+    text = text.split("== Initial Plan ==")[0]
     keep = (
         "Join", "HashAggregate", "SortAggregate", "ObjectHashAggregate",
         "Exchange", "Sort ", "Scan parquet", "AQEShuffleRead", "Expand",
@@ -147,9 +157,12 @@ def run_single(sf_dir: str, names: list[str]) -> int:
     return 0
 
 
-def _cold_in_subprocess(sf_dir: str, name: str) -> float:
-    """One fresh-process cold wall for (sf_dir, query); PROBE_CONF inherits."""
+def _cold_in_subprocess(sf_dir: str, name: str, conf: str | None = None) -> float:
+    """One fresh-process cold wall for (sf_dir, query); PROBE_CONF inherits
+    unless ``conf`` (a JSON string) overrides it for this leg."""
     env = dict(os.environ, PROBE_PASSES="0")
+    if conf is not None:
+        env["PROBE_CONF"] = conf
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), sf_dir, name],
         env=env,
@@ -203,9 +216,45 @@ def run_paired(a_dir: str, b_dir: str, names: list[str]) -> int:
     return 0
 
 
+def run_paired_conf(sf_dir: str, conf_a: str, conf_b: str, names: list[str]) -> int:
+    json.loads(conf_a), json.loads(conf_b)  # fail fast on malformed JSON
+    pairs = int(os.environ.get("PROBE_PAIRS", "3"))
+    for name in names:
+        rounds = []
+        for i in range(pairs):
+            a = _cold_in_subprocess(sf_dir, name, conf=conf_a)
+            b = _cold_in_subprocess(sf_dir, name, conf=conf_b)
+            rounds.append({"a_s": a, "b_s": b, "ratio": round(b / a, 3)})
+            print(
+                f"  pair {i + 1}/{pairs} {name}: a={a:.1f}s b={b:.1f}s "
+                f"ratio={b / a:.2f}",
+                file=sys.stderr,
+                flush=True,
+            )
+        print(
+            json.dumps(
+                {
+                    "protocol": PROTOCOL + "-paired-conf",
+                    "query": name,
+                    "sf_dir": sf_dir,
+                    "conf_a": json.loads(conf_a),
+                    "conf_b": json.loads(conf_b),
+                    "pairs": rounds,
+                    "median_ratio": round(
+                        statistics.median(r["ratio"] for r in rounds), 3
+                    ),
+                }
+            ),
+            flush=True,
+        )
+    return 0
+
+
 def main() -> int:
     if sys.argv[1] == "--paired":
         return run_paired(sys.argv[2], sys.argv[3], sys.argv[4:])
+    if sys.argv[1] == "--paired-conf":
+        return run_paired_conf(sys.argv[2], sys.argv[3], sys.argv[4], sys.argv[5:])
     return run_single(sys.argv[1], sys.argv[2:])
 
 

@@ -335,10 +335,16 @@ def main() -> None:
     if len(sys.argv) >= 4 and sys.argv[1] == "--duck-one":
         _duck_one(sys.argv[2], sys.argv[3])
         return
-    if len(sys.argv) >= 3 and sys.argv[1] == "--generate-only":
+    if len(sys.argv) >= 2 and sys.argv[1] == "--generate-only":
         # documented entry for harnesses that need the replica but not the
         # sweep (full_registry_run.py's usage line referenced this mode
         # before it existed)
+        if len(sys.argv) < 3:
+            print(
+                "usage: scale_sweep.py --generate-only FACTOR [FACTOR ...]",
+                file=sys.stderr,
+            )
+            sys.exit(2)
         for a in sys.argv[2:]:
             print(generate(int(a)))
         return

@@ -27,8 +27,9 @@ def replica(tmp_path_factory):
 
 def tpath(root, t):
     """DuckDB-readable path for table ``t`` under ``root``: scaled replica
-    tables are DIRECTORIES of part files since the multifile-rg32k layout
-    (scale_sweep.LAYOUT); dims and driver testdata stay single files."""
+    tables are DIRECTORIES of part files since the multi-file layouts
+    (whichever ``scale_sweep.LAYOUT`` names); dims and driver testdata stay
+    single files."""
     p = f"{root}/{t}.parquet"
     return f"{p}/*.parquet" if os.path.isdir(p) else p
 
