@@ -161,6 +161,28 @@ def get_spark(
         # second shuffle.  (Static stays at 10 MB estimated; runtime gets
         # the bigger allowance precisely because it cannot be wrong.)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
+        # AQE's default coalescing (parallelismFirst=true) merges shuffle
+        # partitions down to exactly defaultParallelism — ONE wave of
+        # maximum-size sort tasks.  On join_inner_chain at the x256 replica
+        # that packed a 1.66 GB zstd exchange into ~37 tasks whose sorts
+        # decompressed to ~250 MB each; with every core holding one, peak
+        # execution memory hit the entire unified pool and the SMJ reduce
+        # stage spilled 5.4 GB (memory) / 1.5 GB (disk) — the ×2.81
+        # super-linear x128→x256 leg of VERDICT r8 item 1.  x128 fit and
+        # spilled ZERO (docs/decomp_chain_r9.jsonl: the only metric that
+        # flips between the factors).  Respecting the advisory size instead
+        # keeps sort inputs bounded regardless of data volume: partitions
+        # per stage GROW with data (waves of small sorts) rather than
+        # growing per-task state.  16 MB compressed ≈ 5× decompression +
+        # sorter pointer overhead ≈ 120 MB/task, comfortably inside this
+        # box's ~450 MB/core execution share — the same arithmetic holds on
+        # any sane executor (memory/core ≫ advisory × codec ratio).  Paired
+        # interleaved A/B at x256: median −29% wall and the baseline's wild
+        # 29.6–64.1 s spill-driven variance collapses (probe.py
+        # --paired-conf, 2026-08-16).  Inert below AQE_MIN_INPUT_BYTES
+        # where AQE itself is gated off.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
         # ContextCleaner can only release finished broadcasts/shuffle files
         # after a DRIVER GC collects their references; the 30-minute default
         # means a long-lived session accumulates them across queries
