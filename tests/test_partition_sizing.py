@@ -162,3 +162,21 @@ def test_parquet_scan_tasks_empty_directory_falls_back_to_bytes(tmp_path):
     d = tmp_path / "empty.parquet"
     d.mkdir()
     assert parquet_scan_tasks(str(d), parallelism=32) == 1
+
+
+def test_aqe_coalesce_respects_advisory_size(spark):
+    """Pin the r9 spill-cliff fix: parallelism-first coalescing merges
+    every exchange down to one wave of maximum-size sorts, whose per-task
+    state grows linearly with data volume — at the x256 replica that
+    crossed the execution-memory pool and spilled 5.4 GB where x128 spilled
+    zero (BASELINE.md §Round 9, docs/decomp_chain_r9.jsonl).  The advisory
+    target bounds per-task sort state so data growth adds task waves
+    instead."""
+    assert (
+        spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        == "false"
+    )
+    assert (
+        spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
+        == "16MB"
+    )
