@@ -184,39 +184,6 @@ PIPELINES = {
 }
 
 
-def _stage_metrics(spark) -> dict[int, dict]:
-    """Per-stage executor metrics from the live UI's REST API (the decomp
-    session enables the UI for exactly this; AppStatusStore has no stable
-    py4j surface).  Returns {stageId: {...}} for completed stages."""
-    import urllib.request
-
-    base = spark.sparkContext.uiWebUrl
-    if not base:
-        return {}
-    with urllib.request.urlopen(f"{base}/api/v1/applications", timeout=10) as r:
-        app_id = json.load(r)[0]["id"]
-    url = f"{base}/api/v1/applications/{app_id}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=10) as r:
-        stages = json.load(r)
-    out = {}
-    for s in stages:
-        out[s["stageId"]] = {
-            "name": s["name"].split("\n")[0][:60],
-            "tasks": s["numCompleteTasks"],
-            "run_ms": s["executorRunTime"],
-            "cpu_ms": s["executorCpuTime"] // 1_000_000,
-            "gc_ms": s["jvmGcTime"],
-            "shuffle_write_mb": round(s["shuffleWriteBytes"] / 1e6, 1),
-            "shuffle_read_mb": round(s["shuffleReadBytes"] / 1e6, 1),
-            "shuffle_write_rows": s["shuffleWriteRecords"],
-            "spill_mem_mb": round(s["memoryBytesSpilled"] / 1e6, 1),
-            "spill_disk_mb": round(s["diskBytesSpilled"] / 1e6, 1),
-            "input_mb": round(s["inputBytes"] / 1e6, 1),
-            "peak_exec_mem_mb": round(s["peakExecutionMemory"] / 1e6, 1),
-        }
-    return out
-
-
 def main() -> int:
     sf_dir, pipeline = sys.argv[1], sys.argv[2]
     from datafusion_parallelism_spark.session import (
@@ -250,7 +217,9 @@ def main() -> int:
             # Attribute ONLY the Spark stages this prefix ran (new ids since
             # the previous snapshot); sums answer "where did the bytes go",
             # the per-stage rows answer "which exchange spilled".
-            all_stages = _stage_metrics(spark)
+            from datafusion_parallelism_spark.metrics import stage_metrics, totals
+
+            all_stages = stage_metrics(spark)
             mine = {
                 k: v for k, v in all_stages.items() if k not in seen_stage_ids
             }
@@ -259,19 +228,7 @@ def main() -> int:
                 (dict(v, stage_id=k) for k, v in mine.items()),
                 key=lambda r: -r["run_ms"],
             )
-            rec["totals"] = {
-                m: round(sum(v[m] for v in mine.values()), 1)
-                for m in (
-                    "run_ms",
-                    "cpu_ms",
-                    "gc_ms",
-                    "shuffle_write_mb",
-                    "shuffle_read_mb",
-                    "spill_mem_mb",
-                    "spill_disk_mb",
-                    "input_mb",
-                )
-            }
+            rec["totals"] = totals(mine)
         print(json.dumps(rec), flush=True)
         release_persisted(spark, keep_ids)
     return 0

@@ -34,6 +34,10 @@ Env:
                 (post-AQE) executed plan per pass — operator names with
                 join strategies/types, scans, and exchange count — for
                 diagnosing bimodal walls caused by runtime plan flips
+  PROBE_METRICS=1  single mode: enable the Spark UI and attach each
+                pass's per-Spark-stage executor metrics (shuffle/spill/
+                GC/peak-memory, datafusion_parallelism_spark.metrics) —
+                the drift-robust numbers; walls still printed
 
 Protocol note: every output row carries ``"protocol"``.  ``probe-v2``
 (round 7+) times plan+exec together in both cold and warm passes; rows
@@ -103,8 +107,12 @@ def run_single(sf_dir: str, names: list[str]) -> int:
 
     extra_conf = json.loads(os.environ.get("PROBE_CONF", "{}"))
     warm_passes = int(os.environ.get("PROBE_PASSES", "0"))
+    want_metrics = os.environ.get("PROBE_METRICS", "") == "1"
+    if want_metrics:
+        extra_conf.setdefault("spark.ui.enabled", "true")
     spark = benchmark_session(sf_dir, app_name="probe", extra_conf=extra_conf)
     keep_ids = frozenset(persistent_rdd_ids(spark))
+    seen_stage_ids: set[int] = set()
     for name in names:
         # Every pass times plan-build AND execution together (bench.py's
         # headline protocol, so rows are comparable with the scale-sweep
@@ -132,9 +140,36 @@ def run_single(sf_dir: str, names: list[str]) -> int:
                 force_execute(df)
             t2 = time.perf_counter()
             sig = plan_signature(df) if want_plan else None
-            return round(t2 - t0, 3), round(t1 - t0, 3), round(t2 - t1, 3), sig
+            metrics = None
+            if want_metrics:
+                from datafusion_parallelism_spark.metrics import (
+                    stage_metrics,
+                    totals,
+                )
 
-        cold_wall, cold_plan, cold_exec, cold_sig = one_pass()
+                all_stages = stage_metrics(spark)
+                mine = {
+                    k: v
+                    for k, v in all_stages.items()
+                    if k not in seen_stage_ids
+                }
+                seen_stage_ids.update(all_stages)
+                metrics = {
+                    "totals": totals(mine),
+                    "stages": sorted(
+                        (dict(v, stage_id=k) for k, v in mine.items()),
+                        key=lambda r: -r["run_ms"],
+                    ),
+                }
+            return (
+                round(t2 - t0, 3),
+                round(t1 - t0, 3),
+                round(t2 - t1, 3),
+                sig,
+                metrics,
+            )
+
+        cold_wall, cold_plan, cold_exec, cold_sig, cold_metrics = one_pass()
         warms = []
         for _ in range(warm_passes):
             release_persisted(spark, keep_ids)
@@ -152,6 +187,9 @@ def run_single(sf_dir: str, names: list[str]) -> int:
         if want_plan:
             rec["cold_plan_sig"] = cold_sig
             rec["warm_plan_sigs"] = [w[3] for w in warms]
+        if want_metrics:
+            rec["cold_metrics"] = cold_metrics
+            rec["warm_metrics"] = [w[4] for w in warms]
         print(json.dumps(rec), flush=True)
         release_persisted(spark, keep_ids)
     return 0

@@ -378,6 +378,23 @@ def main() -> None:
                     )
                     + "\n"
                 )
+        # Spark-only sweeps (SWEEP_SKIP_DUCKDB=1) exist for leg-ratio
+        # re-records: the decade claim is about SPARK scaling, and the
+        # DuckDB pass dominates wall at GB factors while pushing the two
+        # Spark measurements further apart in time — the opposite of what
+        # a same-window leg comparison wants.
+        if os.environ.get("SWEEP_SKIP_DUCKDB", "") == "1":
+            rows.append(
+                {
+                    "factor": f,
+                    "input_mb": size_mb,
+                    "phase": "spark-only",
+                    "spark_wall_s": spark["value"],
+                    "spark_queries": spark["queries"],
+                }
+            )
+            print(json.dumps(rows[-1]), flush=True)
+            continue
         duck = (
             duckdb_wall_isolated(sf_dir, HEADLINE)
             if os.environ.get("SWEEP_DUCKDB_ISOLATE", "") == "1"
@@ -407,10 +424,11 @@ def main() -> None:
 
     print("\nfactor  input_mb  spark_s  duckdb_s  ratio")
     for r in rows:
-        ratio = r["spark_wall_s"] / max(r["duckdb_wall_s"], 1e-9)
+        duck_s = r.get("duckdb_wall_s")
+        ratio = f"{r['spark_wall_s'] / max(duck_s, 1e-9):>5.1f}" if duck_s else "    -"
         print(
             f"{r['factor']:>6}  {r['input_mb']:>8}  {r['spark_wall_s']:>7}"
-            f"  {r['duckdb_wall_s']:>8}  {ratio:>5.1f}"
+            f"  {duck_s if duck_s is not None else '-':>8}  {ratio}"
         )
 
 
