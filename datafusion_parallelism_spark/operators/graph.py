@@ -66,6 +66,18 @@ def _state_parts(m: int, conf_parts: int) -> int:
     return max(4, min(conf_parts, -(-m // _STATE_ROWS_PER_PARTITION)))
 
 
+def _presorted(df: DataFrame, *keys: str) -> DataFrame:
+    """Sort a loop-invariant table by its loop join key before its
+    localCheckpoint so every iteration's SortMergeJoin skips re-sorting it
+    (the re-sort was pagerank's dominant hidden cost at GB factors: ~13 GB
+    memory-spill per iteration at x256, docs/spill_ledger_r9.jsonl).
+    Shared mechanism + kill-switch (spark.graft.presort=false):
+    plans/shaping.presorted."""
+    from ..plans.shaping import presorted
+
+    return presorted(df, *keys)
+
+
 def _sized(df: DataFrame, parts: int, conf_parts: int, *keys: str) -> DataFrame:
     """Pre-size the NEXT shuffle of ``df`` on ``keys``.
 
@@ -134,8 +146,14 @@ def connected_components(
     if checkpoint:
         # Pin the (large) edge side on dst at state width once; the per-
         # iteration join und⋈labels is then co-partitioned and exchange-free
-        # (localCheckpoint preserves hash partitioning in its LogicalRDD).
-        und = und.repartition(parts, "dst").localCheckpoint(eager=True)
+        # (localCheckpoint preserves hash partitioning in its LogicalRDD) —
+        # and pre-SORTED on dst so the per-iteration SortMergeJoin skips
+        # re-sorting the loop-invariant edge side too (see _presorted).
+        und = (
+            und.repartition(parts, "dst")
+            .transform(_presorted, "dst")
+            .localCheckpoint(eager=True)
+        )
 
     labels = (
         _sized(und.select(F.col("src").alias("node")), parts, conf_parts, "node")
@@ -310,9 +328,11 @@ def pagerank(
     )
     if checkpoint:
         obs_m = Observation()
-        e_norm = e_norm.observe(
-            obs_m, F.count(F.lit(1)).alias("m")
-        ).localCheckpoint(eager=True)
+        e_norm = (
+            e_norm.observe(obs_m, F.count(F.lit(1)).alias("m"))
+            .transform(_presorted, "src")
+            .localCheckpoint(eager=True)
+        )
         m = obs_m.get["m"]
     else:
         m = e_norm.count()
@@ -325,7 +345,11 @@ def pagerank(
         # width so every loop stage runs at `parts`; at real scale the
         # join output is already hashpartitioning(src, conf-width) from
         # the materialized exchange — nothing to re-pin.
-        e_norm = e_norm.repartition(parts, "src").localCheckpoint(eager=True)
+        e_norm = (
+            e_norm.repartition(parts, "src")
+            .transform(_presorted, "src")
+            .localCheckpoint(eager=True)
+        )
 
     nodes = (
         _sized(
@@ -340,8 +364,10 @@ def pagerank(
     )
     if checkpoint:
         obs_n = Observation()
-        nodes = nodes.observe(obs_n, F.count(F.lit(1)).alias("n")).localCheckpoint(
-            eager=True
+        nodes = (
+            nodes.observe(obs_n, F.count(F.lit(1)).alias("n"))
+            .transform(_presorted, "node")
+            .localCheckpoint(eager=True)
         )
         n = obs_n.get["n"]
     else:

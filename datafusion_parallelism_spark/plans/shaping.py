@@ -114,3 +114,30 @@ def forced_join_strategy(spark: SparkSession, strategy: str):
     finally:
         for k, v in saved.items():
             conf.set(k, v)
+
+
+def presorted(df: DataFrame, *keys: str) -> DataFrame:
+    """Sort within partitions by a loop join/group key BEFORE a
+    localCheckpoint, so downstream iterations read the table already
+    ordered.
+
+    LogicalRDD preserves the checkpointed plan's outputPartitioning AND
+    outputOrdering (verified on PySpark 4.1.2: an SMJ over two
+    repartition+sortWithinPartitions+localCheckpoint inputs plans with no
+    Exchange and no Sort on either side; ordering also survives projections
+    and the streamed side of a broadcast hash join).  EnsureRequirements
+    then elides the per-iteration Sort under SortMergeJoin / SortAggregate
+    consumers of the loop-INVARIANT table — the dominant hidden cost of
+    the iterative operators at GB factors: pagerank's per-iteration SMJ
+    re-sorted the |E|-row edge table (13 GB memory-spill per iteration at
+    x256) and PQ training's SortAggregate re-sorted the anchors-joined
+    subvector table every Lloyd iteration (~38 GB spill per iteration) —
+    docs/spill_ledger_r9.jsonl.  Walls looked linear while most executor
+    time was redundant sorting.
+
+    Kill-switch for paired A/Bs: spark.graft.presort=false (a Spark conf
+    so probe.py --paired-conf can drive it).
+    """
+    if df.sparkSession.conf.get("spark.graft.presort", "true") == "false":
+        return df
+    return df.sortWithinPartitions(*keys)

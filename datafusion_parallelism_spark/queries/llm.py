@@ -2730,7 +2730,16 @@ def _pq_subv(
     # pruning on it; the checkpointed plan has no visible file scan).
     if not checkpoint:
         return subv
-    return subv.localCheckpoint(eager=True)
+    # Pre-SORTED by the training loop's group key: min(struct) plans as
+    # SortAggregate, and without stored ordering every Lloyd iteration
+    # re-sorted the anchors-joined subvector stream (K rows per subvector
+    # — ~38 GB memory-spill per iteration at the x256 replica,
+    # docs/spill_ledger_r9.jsonl).  With the checkpoint ordered, the
+    # broadcast join preserves it and the per-iteration Sort is elided —
+    # the aggregate streams (see plans/shaping.presorted).
+    from ..plans.shaping import presorted
+
+    return presorted(subv, "vec_id", "j").localCheckpoint(eager=True)
 
 
 def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):

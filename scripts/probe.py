@@ -226,8 +226,15 @@ def run_paired(a_dir: str, b_dir: str, names: list[str]) -> int:
     for name in names:
         rounds = []
         for i in range(pairs):
-            a = _cold_in_subprocess(a_dir, name)
-            b = _cold_in_subprocess(b_dir, name)
+            try:
+                a = _cold_in_subprocess(a_dir, name)
+                b = _cold_in_subprocess(b_dir, name)
+            except RuntimeError as exc:
+                # One dead subprocess (OOM-killed leg, lost pipe) must not
+                # void the pairs already measured; record and continue.
+                print(f"  pair {i + 1}/{pairs} {name}: LOST ({exc})",
+                      file=sys.stderr, flush=True)
+                continue
             rounds.append({"a_s": a, "b_s": b, "ratio": round(b / a, 3)})
             print(
                 f"  pair {i + 1}/{pairs} {name}: a={a:.1f}s b={b:.1f}s "
@@ -245,7 +252,7 @@ def run_paired(a_dir: str, b_dir: str, names: list[str]) -> int:
                     "pairs": rounds,
                     "median_ratio": round(
                         statistics.median(r["ratio"] for r in rounds), 3
-                    ),
+                    ) if rounds else None,
                     "conf": json.loads(os.environ.get("PROBE_CONF", "{}")),
                 }
             ),
@@ -260,8 +267,13 @@ def run_paired_conf(sf_dir: str, conf_a: str, conf_b: str, names: list[str]) -> 
     for name in names:
         rounds = []
         for i in range(pairs):
-            a = _cold_in_subprocess(sf_dir, name, conf=conf_a)
-            b = _cold_in_subprocess(sf_dir, name, conf=conf_b)
+            try:
+                a = _cold_in_subprocess(sf_dir, name, conf=conf_a)
+                b = _cold_in_subprocess(sf_dir, name, conf=conf_b)
+            except RuntimeError as exc:
+                print(f"  pair {i + 1}/{pairs} {name}: LOST ({exc})",
+                      file=sys.stderr, flush=True)
+                continue
             rounds.append({"a_s": a, "b_s": b, "ratio": round(b / a, 3)})
             print(
                 f"  pair {i + 1}/{pairs} {name}: a={a:.1f}s b={b:.1f}s "
@@ -280,7 +292,7 @@ def run_paired_conf(sf_dir: str, conf_a: str, conf_b: str, names: list[str]) -> 
                     "pairs": rounds,
                     "median_ratio": round(
                         statistics.median(r["ratio"] for r in rounds), 3
-                    ),
+                    ) if rounds else None,
                 }
             ),
             flush=True,
