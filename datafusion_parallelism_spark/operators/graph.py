@@ -68,11 +68,13 @@ def _state_parts(m: int, conf_parts: int) -> int:
 
 def _presorted(df: DataFrame, *keys: str) -> DataFrame:
     """Sort a loop-invariant table by its loop join key before its
-    localCheckpoint so every iteration's SortMergeJoin skips re-sorting it
-    (the re-sort was pagerank's dominant hidden cost at GB factors: ~13 GB
-    memory-spill per iteration at x256, docs/spill_ledger_r9.jsonl).
-    Shared mechanism + kill-switch (spark.graft.presort=false):
-    plans/shaping.presorted."""
+    localCheckpoint so iteration-time SortMergeJoins can skip re-sorting
+    it.  Honest measured effect here (x256): pagerank's wall pair is
+    0.927 (within noise) and its ~13 GB/iteration spill is UNCHANGED —
+    that spill is the contribution join+agg machinery, not the edge
+    re-sort; the verified win is PQ training (−25%, Sort elided from the
+    plan).  Shared mechanism, evidence, and kill-switch
+    (spark.graft.presort=false): plans/shaping.presorted."""
     from ..plans.shaping import presorted
 
     return presorted(df, *keys)

@@ -127,13 +127,16 @@ def presorted(df: DataFrame, *keys: str) -> DataFrame:
     Exchange and no Sort on either side; ordering also survives projections
     and the streamed side of a broadcast hash join).  EnsureRequirements
     then elides the per-iteration Sort under SortMergeJoin / SortAggregate
-    consumers of the loop-INVARIANT table — the dominant hidden cost of
-    the iterative operators at GB factors: pagerank's per-iteration SMJ
-    re-sorted the |E|-row edge table (13 GB memory-spill per iteration at
-    x256) and PQ training's SortAggregate re-sorted the anchors-joined
-    subvector table every Lloyd iteration (~38 GB spill per iteration) —
-    docs/spill_ledger_r9.jsonl.  Walls looked linear while most executor
-    time was redundant sorting.
+    consumers of the loop-INVARIANT table.
+
+    Measured effect (x256, docs/chain_paired_r9.jsonl): PQ training —
+    whose per-iteration Sort of the anchors-joined subvector stream WAS
+    the stage — drops the Sort from its executed plan and the wall falls
+    25% (paired median 0.75, 3/3).  pagerank's iteration spill is
+    UNCHANGED (13 GB/iteration before and after): its spill lives in the
+    contribution join+aggregation machinery itself, not the edge re-sort
+    (wall pair 0.927, within noise) — kept because it is free at worst
+    and removes a planner sort wherever one was required.
 
     Kill-switch for paired A/Bs: spark.graft.presort=false (a Spark conf
     so probe.py --paired-conf can drive it).
