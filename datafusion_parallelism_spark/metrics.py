@@ -67,15 +67,31 @@ def stage_metrics(spark: SparkSession, timeout: float = 10.0) -> dict[int, dict]
     with urllib.request.urlopen(url, timeout=timeout) as r:
         stages = json.load(r)
     out: dict[int, dict] = {}
+    # The REST endpoint returns one StageData per ATTEMPT; a retried stage
+    # appears multiple times under the same stageId.  Keep the
+    # highest-attempt row (the one that completed the stage) instead of
+    # letting whichever attempt the server listed last win, and note the
+    # retry so totals() consumers know earlier attempts' work is excluded.
+    seen_attempt: dict[int, int] = {}
     for s in stages:
-        row = {
-            "name": s["name"].split("\n")[0][:60],
-            "tasks": s["numCompleteTasks"],
-        }
+        sid = s["stageId"]
+        attempt = s.get("attemptId", 0)
+        if sid in seen_attempt:
+            out[sid]["retried"] = True
+            if attempt <= seen_attempt[sid]:
+                continue
+        seen_attempt[sid] = attempt
+        row = out.get(sid, {})
+        row.update(
+            name=s.get("name", "").split("\n")[0][:60],
+            tasks=s.get("numCompleteTasks", 0),
+        )
         for rest_name, short, divisor in _FIELDS:
-            v = s[rest_name] / divisor
+            # .get: a field absent from a REST row (version drift, pruned
+            # detail) degrades to 0 rather than aborting the whole read.
+            v = s.get(rest_name, 0) / divisor
             row[short] = round(v, 3) if divisor > 1 else int(v)
-        out[s["stageId"]] = row
+        out[sid] = row
     return out
 
 

@@ -179,8 +179,11 @@ def get_spark(
         # any sane executor (memory/core ≫ advisory × codec ratio).  Paired
         # interleaved A/B at x256: median −29% wall and the baseline's wild
         # 29.6–64.1 s spill-driven variance collapses (probe.py
-        # --paired-conf, 2026-08-16).  Inert below AQE_MIN_INPUT_BYTES
-        # where AQE itself is gated off.
+        # --paired-conf, 2026-08-16).  The AQE_MIN_INPUT_BYTES gate applies
+        # to benchmark_session (measurement posture) only; driver/
+        # correctness sessions built by get_spark keep AQE on at every
+        # scale, so they do pick these up — harmless for correctness, and
+        # at MB scale coalescing hits the 1-partition floor either way.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
         # ContextCleaner can only release finished broadcasts/shuffle files

@@ -217,6 +217,13 @@ def main() -> int:
             # Attribute ONLY the Spark stages this prefix ran (new ids since
             # the previous snapshot); sums answer "where did the bytes go",
             # the per-stage rows answer "which exchange spilled".
+            # Attribution window: the snapshot is taken right after
+            # force_execute returns, so a stage whose straggler tasks
+            # complete BETWEEN this snapshot and the next prefix is
+            # attributed to the FOLLOWING prefix's row — boundary stages can
+            # shift one row late.  Consumers of decomp JSONLs should treat
+            # a suspicious stage on a row boundary as possibly belonging to
+            # the previous prefix (rec carries this note as "attribution").
             from datafusion_parallelism_spark.metrics import stage_metrics, totals
 
             all_stages = stage_metrics(spark)
@@ -229,6 +236,7 @@ def main() -> int:
                 key=lambda r: -r["run_ms"],
             )
             rec["totals"] = totals(mine)
+            rec["attribution"] = "post-execute snapshot; boundary stages may shift one row late"
         print(json.dumps(rec), flush=True)
         release_persisted(spark, keep_ids)
     return 0

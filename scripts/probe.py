@@ -229,7 +229,7 @@ def run_paired(a_dir: str, b_dir: str, names: list[str]) -> int:
             try:
                 a = _cold_in_subprocess(a_dir, name)
                 b = _cold_in_subprocess(b_dir, name)
-            except RuntimeError as exc:
+            except (RuntimeError, subprocess.TimeoutExpired) as exc:
                 # One dead subprocess (OOM-killed leg, lost pipe) must not
                 # void the pairs already measured; record and continue.
                 print(f"  pair {i + 1}/{pairs} {name}: LOST ({exc})",
@@ -270,7 +270,7 @@ def run_paired_conf(sf_dir: str, conf_a: str, conf_b: str, names: list[str]) -> 
             try:
                 a = _cold_in_subprocess(sf_dir, name, conf=conf_a)
                 b = _cold_in_subprocess(sf_dir, name, conf=conf_b)
-            except RuntimeError as exc:
+            except (RuntimeError, subprocess.TimeoutExpired) as exc:
                 print(f"  pair {i + 1}/{pairs} {name}: LOST ({exc})",
                       file=sys.stderr, flush=True)
                 continue

@@ -38,9 +38,12 @@ def test_stage_metrics_live_read(sf_dir):
         text=True,
         timeout=300,
     )
+    assert proc.returncode == 0, proc.stderr[-2000:]
     line = next(
-        l for l in proc.stdout.splitlines() if l.startswith("METRICS ")
+        (l for l in proc.stdout.splitlines() if l.startswith("METRICS ")),
+        None,
     )
+    assert line is not None, f"no METRICS line; stderr: {proc.stderr[-2000:]}"
     rows = json.loads(line[len("METRICS "):])
     assert rows, "no completed stages reported"
     for row in rows.values():
