@@ -68,16 +68,26 @@ def _state_parts(m: int, conf_parts: int) -> int:
 
 def _presorted(df: DataFrame, *keys: str) -> DataFrame:
     """Sort a loop-invariant table by its loop join key before its
-    localCheckpoint so iteration-time SortMergeJoins can skip re-sorting
-    it.  Honest measured effect here (x256): pagerank's wall pair is
-    0.927 (within noise) and its ~13 GB/iteration spill is UNCHANGED —
-    that spill is the contribution join+agg machinery, not the edge
-    re-sort; the verified win is PQ training (−25%, Sort elided from the
-    plan).  Shared mechanism, evidence, and kill-switch
+    checkpoint so iteration-time SortMergeJoins can skip re-sorting it.
+    Only effective through :func:`_ckpt_pinned` — a plain localCheckpoint
+    under AQE erases the stored ordering (and partitioning), which is
+    exactly why the r9 presort left pagerank's 13 GB/iteration sort spill
+    unchanged at x256: the per-iteration SMJ re-sorted (and re-exchanged)
+    the edge table anyway.  Mechanism, evidence and kill-switch
     (spark.graft.presort=false): plans/shaping.presorted."""
     from ..plans.shaping import presorted
 
     return presorted(df, *keys)
+
+
+def _ckpt_pinned(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that keeps partitioning/ordering metadata
+    under AQE (plans/shaping.checkpoint_pinned) — the property every
+    loop-invariant table here depends on.  Kill-switch
+    spark.graft.pin=false."""
+    from ..plans.shaping import checkpoint_pinned
+
+    return checkpoint_pinned(df)
 
 
 def _sized(df: DataFrame, parts: int, conf_parts: int, *keys: str) -> DataFrame:
@@ -148,13 +158,13 @@ def connected_components(
     if checkpoint:
         # Pin the (large) edge side on dst at state width once; the per-
         # iteration join und⋈labels is then co-partitioned and exchange-free
-        # (localCheckpoint preserves hash partitioning in its LogicalRDD) —
         # and pre-SORTED on dst so the per-iteration SortMergeJoin skips
-        # re-sorting the loop-invariant edge side too (see _presorted).
-        und = (
-            und.repartition(parts, "dst")
-            .transform(_presorted, "dst")
-            .localCheckpoint(eager=True)
+        # re-sorting the loop-invariant edge side too.  _ckpt_pinned is
+        # what makes both properties real at scale: a plain
+        # localCheckpoint under AQE stores Unknown/Nil and every iteration
+        # re-exchanges AND re-sorts the |E|-row side (round-10 finding).
+        und = _ckpt_pinned(
+            und.repartition(parts, "dst").transform(_presorted, "dst")
         )
 
     labels = (
@@ -164,9 +174,7 @@ def connected_components(
     )
     if checkpoint:
         obs0 = Observation()
-        labels = labels.observe(obs0, F.sum("cluster").alias("s")).localCheckpoint(
-            eager=True
-        )
+        labels = _ckpt_pinned(labels.observe(obs0, F.sum("cluster").alias("s")))
         prev_sum = obs0.get["s"]
     else:
         prev_sum = labels.agg(F.sum("cluster")).collect()[0][0]
@@ -292,13 +300,19 @@ def pagerank(
     rounding).
 
     Scale posture: edges are normalized ONCE into (src, dst, 1/outdeg),
-    REPARTITIONED BY src and lineage-truncated — localCheckpoint preserves
-    the hash partitioning in its LogicalRDD, so the per-iteration join
-    edges⋈ranks never re-exchanges the (large) edge side.  nodes is
-    likewise pinned on node, and every rank/contrib table in the loop
-    inherits node-partitioning from it, which leaves exactly ONE exchange
-    per iteration: the contribution SUM moving mass from src- to
-    dst-partitioning (information-theoretically required).  Job budget
+    REPARTITIONED BY src, pre-sorted and lineage-truncated with
+    _ckpt_pinned — the checkpoint that actually KEEPS the hash
+    partitioning and sort order in its LogicalRDD under AQE (a plain
+    localCheckpoint stores Unknown/Nil there, and at x256 that cost a
+    full |E| re-exchange + re-sort every iteration: 139 GB of sort spill,
+    the round-9 verdict's top item).  With the pin, the per-iteration
+    join edges⋈ranks re-exchanges and re-sorts NEITHER side (ranks
+    arrives node-partitioned and node-sorted out of its own SMJ), leaving
+    exactly ONE large exchange per iteration: the contribution SUM moving
+    mass from src- to dst-partitioning (information-theoretically
+    required), plus a |V|-sized contrib re-exchange in the lazy ranks
+    view (the contrib checkpoint deliberately stays un-pinned so the
+    heavy aggregation job keeps AQE's advisory-size coalescing).  Job budget
     (checkpoint=True): 2 setup jobs at real scale (normalized-edge and
     node checkpoints, with the edge/node counts riding them as observe
     metrics; +1 cheap state-width re-pin job in the small regime), then
@@ -330,10 +344,9 @@ def pagerank(
     )
     if checkpoint:
         obs_m = Observation()
-        e_norm = (
+        e_norm = _ckpt_pinned(
             e_norm.observe(obs_m, F.count(F.lit(1)).alias("m"))
             .transform(_presorted, "src")
-            .localCheckpoint(eager=True)
         )
         m = obs_m.get["m"]
     else:
@@ -347,10 +360,8 @@ def pagerank(
         # width so every loop stage runs at `parts`; at real scale the
         # join output is already hashpartitioning(src, conf-width) from
         # the materialized exchange — nothing to re-pin.
-        e_norm = (
-            e_norm.repartition(parts, "src")
-            .transform(_presorted, "src")
-            .localCheckpoint(eager=True)
+        e_norm = _ckpt_pinned(
+            e_norm.repartition(parts, "src").transform(_presorted, "src")
         )
 
     nodes = (
@@ -366,10 +377,9 @@ def pagerank(
     )
     if checkpoint:
         obs_n = Observation()
-        nodes = (
+        nodes = _ckpt_pinned(
             nodes.observe(obs_n, F.count(F.lit(1)).alias("n"))
             .transform(_presorted, "node")
-            .localCheckpoint(eager=True)
         )
         n = obs_n.get["n"]
     else:

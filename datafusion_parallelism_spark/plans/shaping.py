@@ -122,21 +122,14 @@ def presorted(df: DataFrame, *keys: str) -> DataFrame:
     ordered.
 
     LogicalRDD preserves the checkpointed plan's outputPartitioning AND
-    outputOrdering (verified on PySpark 4.1.2: an SMJ over two
-    repartition+sortWithinPartitions+localCheckpoint inputs plans with no
-    Exchange and no Sort on either side; ordering also survives projections
-    and the streamed side of a broadcast hash join).  EnsureRequirements
-    then elides the per-iteration Sort under SortMergeJoin / SortAggregate
-    consumers of the loop-INVARIANT table.
-
-    Measured effect (x256, docs/chain_paired_r9.jsonl): PQ training —
-    whose per-iteration Sort of the anchors-joined subvector stream WAS
-    the stage — drops the Sort from its executed plan and the wall falls
-    25% (paired median 0.75, 3/3).  pagerank's iteration spill is
-    UNCHANGED (13 GB/iteration before and after): its spill lives in the
-    contribution join+aggregation machinery itself, not the edge re-sort
-    (wall pair 0.927, within noise) — kept because it is free at worst
-    and removes a planner sort wherever one was required.
+    outputOrdering ONLY when the checkpoint job is planned non-adaptively
+    — under AQE both read back Unknown/Nil (round-10 finding; r9's
+    elision evidence came from AQE-off sessions and did not transfer to
+    the at-scale AQE-on posture).  Pair this with
+    :func:`checkpoint_pinned`, which scopes AQE off around the eager
+    checkpoint so the metadata is captured; EnsureRequirements then
+    elides the per-iteration Sort (and Exchange) under SortMergeJoin /
+    SortAggregate consumers of the loop-INVARIANT table at every scale.
 
     Kill-switch for paired A/Bs: spark.graft.presort=false (a Spark conf
     so probe.py --paired-conf can drive it).
@@ -144,3 +137,49 @@ def presorted(df: DataFrame, *keys: str) -> DataFrame:
     if df.sparkSession.conf.get("spark.graft.presort", "true") == "false":
         return df
     return df.sortWithinPartitions(*keys)
+
+
+def checkpoint_pinned(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint that actually PRESERVES the checkpointed
+    plan's partitioning/ordering metadata at every scale.
+
+    ``Dataset.localCheckpoint`` copies ``executedPlan.outputPartitioning``
+    / ``outputOrdering`` into the resulting LogicalRDD — but when the
+    executed plan is an ``AdaptiveSparkPlanExec`` (AQE on, i.e. the
+    at-scale posture of ``benchmark_session``), both read back as
+    Unknown/Nil, so every downstream consumer re-exchanges AND re-sorts
+    the checkpointed table.  Round 10 measured the consequence: pagerank
+    re-shuffled and re-sorted its loop-invariant |E|-row edge table every
+    iteration at the x256 replica (139 GB of sort spill, 45% of the
+    corpus wall), and the PQ-training Sort that plain ``presorted`` was
+    believed to elide was also back under AQE — the r9 elision evidence
+    was gathered on AQE-off sessions and silently did not transfer.
+
+    Fix: plan this ONE checkpoint job non-adaptively.  Dataset planning
+    is lazy — it happens at the first action, which for an eager
+    checkpoint is inside this call — so a scoped AQE-off flip around the
+    checkpoint suffices, and AQE-on consumers then honor the stored
+    metadata (verified on 4.1.2: a consumer SortMergeJoin plans no
+    Exchange and no Sort over the pinned side; see
+    tests/test_plan_shapes.py).  The cost is that the checkpoint job
+    itself runs without AQE (no runtime broadcast/skew/coalesce for the
+    subtree it materializes) — callers with a heavy derivation upstream
+    checkpoint twice: once ambient to truncate lineage, then pin the
+    cheap scan-repartition-sort job.
+
+    The flip is session-global for the duration of the job; engine
+    sessions run one query at a time (driver/bench), and a concurrent
+    planner caught in the window would merely plan non-adaptively
+    (correct, possibly slower).
+
+    Kill-switch for paired A/Bs: spark.graft.pin=false (falls back to a
+    plain eager localCheckpoint)."""
+    conf = df.sparkSession.conf
+    if conf.get("spark.graft.pin", "true") == "false":
+        return df.localCheckpoint(eager=True)
+    prev = conf.get("spark.sql.adaptive.enabled")
+    conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return df.localCheckpoint(eager=True)
+    finally:
+        conf.set("spark.sql.adaptive.enabled", prev)

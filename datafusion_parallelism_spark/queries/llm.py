@@ -2730,16 +2730,18 @@ def _pq_subv(
     # pruning on it; the checkpointed plan has no visible file scan).
     if not checkpoint:
         return subv
-    # Pre-SORTED by the training loop's group key: min(struct) plans as
-    # SortAggregate, and without stored ordering every Lloyd iteration
-    # re-sorted the anchors-joined subvector stream (K rows per subvector
-    # — ~38 GB memory-spill per iteration at the x256 replica,
-    # docs/spill_ledger_r9.jsonl).  With the checkpoint ordered, the
-    # broadcast join preserves it and the per-iteration Sort is elided —
-    # the aggregate streams (see plans/shaping.presorted).
-    from ..plans.shaping import presorted
+    # Pre-SORTED by the training loop's group key and checkpointed with
+    # the metadata PINNED: min(struct) plans as SortAggregate, and with
+    # stored (vec_id, j) ordering + vec_id partitioning the per-iteration
+    # aggregate streams with no Sort and no Exchange.  checkpoint_pinned
+    # is load-bearing — a plain localCheckpoint under AQE (the at-scale
+    # posture) erases both properties, and round 10 found the training
+    # iterations were paying Sort+Exchange+Sort per iteration at the
+    # replicas despite the r9 presort (whose elision evidence came from
+    # AQE-off sessions; see plans/shaping.checkpoint_pinned).
+    from ..plans.shaping import checkpoint_pinned, presorted
 
-    return presorted(subv, "vec_id", "j").localCheckpoint(eager=True)
+    return checkpoint_pinned(presorted(subv, "vec_id", "j"))
 
 
 def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
@@ -3181,10 +3183,10 @@ def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     and distances be broadcast-join + SUM (never a per-row HOF fold whose
     summation order could differ from the oracle's).
 
-    The table is repartitioned by vec_id and lineage-truncated ONCE:
-    localCheckpoint preserves the hash partitioning, so every training
-    iteration's groupBy(vec_id, ...) argmin and the asg⋈dims means join
-    are exchange-free — the corpus is read, normalized and shuffled
+    The table is repartitioned by vec_id and lineage-truncated ONCE with
+    the partitioning metadata pinned (checkpoint_pinned), so every
+    training iteration's groupBy(vec_id, ...) argmin and the asg⋈dims
+    means join are exchange-free — the corpus is read, normalized and shuffled
     exactly one time no matter how many Lloyd iterations follow (the
     standard cache-the-training-set posture of iterative ML on Spark)."""
     pre = _normalized_cols(load(spark, sf_dir, "embeddings"))
@@ -3194,8 +3196,13 @@ def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("x") / F.col("nrm")).alias("x"),
     )
     # vec_id partitioning flows from _normalized_cols' barrier through the
-    # (narrow) generator into the checkpoint — no second shuffle.
-    return dims.localCheckpoint(eager=True)
+    # (narrow) generator into the checkpoint — no second shuffle.  Pinned
+    # so the partitioning survives AQE (plans/shaping.checkpoint_pinned);
+    # a plain localCheckpoint would leave every Lloyd iteration
+    # re-exchanging the corpus at the replicas.
+    from ..plans.shaping import checkpoint_pinned
+
+    return checkpoint_pinned(dims)
 
 
 def _km_assign(dims: DataFrame, cent: DataFrame) -> DataFrame:

@@ -430,3 +430,140 @@ def test_kmeans_final_plan_broadcast_assign_two_exchanges(spark, sf_dir):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
     assert plan.count("Exchange") <= 3, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def _with_conf(spark, pairs):
+    """Context manager: set confs, restore on exit."""
+    from contextlib import contextmanager
+
+    @contextmanager
+    def cm():
+        saved = {k: spark.conf.get(k, None) for k in pairs}
+        try:
+            for k, v in pairs.items():
+                spark.conf.set(k, v)
+            yield
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+
+    return cm()
+
+
+def test_checkpoint_pinned_preserves_metadata_under_aqe(spark):
+    """The round-10 load-bearing fact: an eager localCheckpoint planned
+    under AQE stores UnknownPartitioning/Nil ordering in its LogicalRDD,
+    so consumers re-exchange AND re-sort the checkpointed table every
+    time it is joined — checkpoint_pinned (scoped AQE-off around the
+    checkpoint job) keeps both, and an AQE-ON consumer honors them.
+    Pins: pinned side contributes NO Exchange and NO Sort to a forced
+    SMJ; the spark.graft.pin=false kill-switch restores both."""
+    import re
+
+    from datafusion_parallelism_spark.plans import checkpoint_pinned
+
+    df = spark.range(20000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("x")
+    )
+    other = spark.range(10000).select(
+        (F.col("id") % 500).alias("k"), F.col("id").alias("y")
+    )
+
+    def smj_counts(ck):
+        j = ck.join(other.repartition(8, "k"), ck["k"] == other["k"])
+        txt = physical_plan_str(j).split("== Initial Plan ==")[0]
+        return (
+            len(re.findall(r"Exchange hashpartitioning\(k#", txt)),
+            len(re.findall(r"Sort \[k#", txt)),
+        )
+
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        },
+    ):
+        base = df.repartition(8, "k").sortWithinPartitions("k")
+        exch, sorts = smj_counts(checkpoint_pinned(base))
+        # exactly the OTHER side's exchange+sort; pinned side contributes none
+        assert (exch, sorts) == (1, 1), (exch, sorts)
+        # AQE must be restored after the pin (scoped flip)
+        assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+        with _with_conf(spark, {"spark.graft.pin": "false"}):
+            base2 = df.repartition(8, "k").sortWithinPartitions("k")
+            exch, sorts = smj_counts(checkpoint_pinned(base2))
+        assert (exch, sorts) == (2, 2), (exch, sorts)
+
+
+def test_pq_training_iteration_streams_without_sort_or_exchange(spark, sf_dir):
+    """VERDICT r9 item 3, upgraded by the round-10 finding: the PQ
+    training iteration must aggregate the checkpointed subvector table
+    with NO Sort and NO Exchange — under AQE-ON (the at-scale posture),
+    not just the AQE-off session where r9 originally verified it.  The
+    subvector checkpoint is pinned (vec_id partitioning + (vec_id, j)
+    ordering), so the per-iteration SortAggregate streams.  Kill-switch
+    check: spark.graft.pin=false restores the Sort."""
+    import re
+
+    from datafusion_parallelism_spark.queries.llm import _pq_subv
+
+    def train_iter_plan(subv):
+        anch_rows = subv.limit(4).select(
+            "j",
+            F.col("vec_id").alias("aid"),
+            F.col("e1").alias("a1"),
+            F.col("e2").alias("a2"),
+        ).collect()
+        anch = spark.createDataFrame(
+            anch_rows, schema="j int, aid long, a1 double, a2 double"
+        )
+        d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
+            F.col("e2") - F.col("a2")
+        ) * (F.col("e2") - F.col("a2"))
+        assign = (
+            subv.join(F.broadcast(anch), "j")
+            .select("vec_id", "j", "aid", d2.alias("d2"), "e1", "e2")
+            .groupBy("vec_id", "j")
+            .agg(F.min(F.struct("d2", "aid", "e1", "e2")).alias("s"))
+        )
+        return physical_plan_str(assign).split("== Initial Plan ==")[0]
+
+    with _with_conf(spark, {"spark.sql.adaptive.enabled": "true"}):
+        vecs = load(spark, sf_dir, "embeddings")
+        txt = train_iter_plan(_pq_subv(vecs, spark))
+        assert not re.search(r"Sort \[vec_id#", txt), txt
+        assert not re.search(r"Exchange hashpartitioning\(vec_id#", txt), txt
+        with _with_conf(spark, {"spark.graft.pin": "false"}):
+            txt = train_iter_plan(_pq_subv(vecs, spark))
+            assert re.search(r"Sort \[vec_id#", txt) or re.search(
+                r"Exchange hashpartitioning\(vec_id#", txt
+            ), txt
+
+
+def test_pagerank_pinned_nodes_side_no_exchange_under_aqe(spark):
+    """The pagerank loop's exchange-free contract now holds under AQE-ON
+    (round 10; previously only pinned AQE-off): the returned ranks view
+    joins pinned nodes with the (deliberately un-pinned) contrib
+    checkpoint — the nodes/ExistingRDD side must plan with no Exchange
+    and no Sort; contrib's small dst-side re-exchange is the only one."""
+    import re
+
+    from datafusion_parallelism_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)],
+        schema="u long, v long",
+    )
+    with _with_conf(spark, {"spark.sql.adaptive.enabled": "true"}):
+        plan = physical_plan_str(pagerank(edges, iterations=3)).split(
+            "== Initial Plan =="
+        )[0]
+    assert not re.search(r"Exchange hashpartitioning\(node#", plan), plan
+    assert not re.search(r"Sort \[node#", plan), plan
+    # contrib side: at most one exchange (+sort) on dst
+    assert len(re.findall(r"Exchange hashpartitioning\(dst#", plan)) <= 1, plan
