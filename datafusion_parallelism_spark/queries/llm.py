@@ -475,35 +475,47 @@ def winnow_fingerprints(
     Selection is content-local (never absolute-position-dependent), which
     is what makes the shared-span guarantee hold across alignments.
 
-    CHUNKED window evaluation (round 5), output-identical to the whole-doc
-    window: the window min at anchor ``pos`` depends only on grams
-    ``pos..pos+w-1``, so grams are routed to fixed-size chunks of ``chunk``
-    anchor positions with the FIRST w-1 grams of each chunk duplicated into
-    the previous one (gram p serves anchors p-w+1..p, i.e. chunks
-    floor((p-w)/chunk)..floor((p-1)/chunk) — at most 2 when chunk >= w).
-    Each (doc, chunk) partition is the consecutive gram run
-    [c*chunk+1, (c+1)*chunk + w-1], so every CHUNK-OWNED anchor sees its
-    full w successors (or the true doc tail, exactly like the unchunked
-    window); borrowed anchors are filtered out before distinct.  The
-    fingerprint set is therefore bit-identical (pinned by a hypothesis
-    test against an unchunked reference at chunk=16), while the per-
-    partition window sort is bounded at chunk+w-1 rows — a 1 GB document
-    no longer serializes into ONE window partition, and long docs spread
-    across the cluster instead of pinning a straggler task."""
-    grams = (
-        d.filter(F.length("text") >= k)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.length("text") - F.lit(k - 1))).alias(
-                "pos"
-            ),
-            "text",
-        )
-        .select(
-            "doc_id",
-            "pos",
-            _phash(F.expr(f"substring(text, pos, {k})")).alias("h"),
-        )
+    SHUFFLE-FREE chunked evaluation (round 10, replacing the r5
+    explode-grams + WindowExec formulation): the window min at anchor
+    ``pos`` depends only on grams ``pos..pos+w-1``, so the text is cut
+    into substrings of ``chunk`` anchor positions (+ the w+k-2 borrowed
+    tail chars the last owned anchor's window needs), and each chunk's
+    gram-hash array and sliding minima are computed by higher-order
+    functions entirely inside the narrow scan stage: ``transform`` builds
+    the hash array once per chunk (bound as a lambda variable via the
+    single-element-array idiom so it is NOT re-evaluated per anchor),
+    ``array_min(slice(...))`` takes each owned anchor's window minimum
+    (``slice`` truncates at the array end, matching the doc-tail
+    behavior of a ROWS BETWEEN 0 AND w-1 frame).  The fingerprint set is
+    bit-identical to the whole-doc window (pinned by a hypothesis test
+    against an unchunked pure-Python reference at chunk=16), but where
+    the r5 window formulation EXCHANGED AND SORTED the entire gram table
+    — ~24 bytes x total_chars, 91 GB of x256 sort spill, the r9 ledger's
+    #2 item — this plan's first shuffle is the ~2/(w+1)-density
+    fingerprint distinct.  Per-doc peak memory is the chunk-substring
+    array (~= the doc itself); per-expression state is one
+    chunk+w-1-long hash array (64 KB), so a 1 GB document streams
+    through chunk rows instead of pinning a sort partition."""
+    k1 = k - 1
+    sub_len = chunk + w + k - 2
+    # _phash in SQL (md5 -> 15 hex chars -> bigint), applied per gram of
+    # the chunk substring; the outer transform-over-array(...) binds the
+    # hash array as lambda var `harr` so it is built ONCE per chunk row
+    # (inlining it into the per-anchor lambda would rebuild it per anchor
+    # — and CollapseProject would do exactly that to a plain column
+    # alias, which is why this is one self-contained expression).
+    hashes = (
+        f"transform(sequence(1, length(e.sub) - {k1}), "
+        f"p -> cast(conv(substring(md5(substring(e.sub, p, {k})), 1, 15), 16, 10) as bigint))"
+    )
+    wmins = (
+        f"transform(array({hashes}), harr -> "
+        f"transform(sequence(1, e.owned), p -> array_min(slice(harr, p, {w}))))[0]"
+    )
+    subs = (
+        f"transform(sequence(0, cast(ceil((length(text) - {k1}) / {chunk}.0) as int) - 1), "
+        f"c -> struct(substring(text, c * {chunk} + 1, {sub_len}) as sub, "
+        f"least({chunk}, length(text) - {k1} - c * {chunk}) as owned))"
     )
     # Fingerprints = the DISTINCT per-window minima.  (Selecting rows where
     # h equals the min of the window ANCHORED AT h's own position is the
@@ -511,16 +523,10 @@ def winnow_fingerprints(
     # against its w-1 successors, and the guarantee fails when a smaller
     # hash sits just past the shared span's edge.  The window-min VALUES
     # are exactly the selected hash set, no argmin bookkeeping needed.)
-    owned = F.floor((F.col("pos") - 1) / chunk)
-    lo = F.greatest(F.lit(0), F.floor((F.col("pos") - w) / chunk))
-    routed = grams.select(
-        "doc_id", "pos", "h", F.explode(F.sequence(lo, owned)).alias("chk")
-    )
-    win = Window.partitionBy("doc_id", "chk").orderBy("pos").rowsBetween(0, w - 1)
     return (
-        routed.withColumn("wmin", F.min("h").over(win))
-        .filter(owned == F.col("chk"))
-        .select("doc_id", F.col("wmin").alias("h"))
+        d.filter(F.length("text") >= k)
+        .select("doc_id", F.explode(F.expr(subs)).alias("e"))
+        .select("doc_id", F.explode(F.expr(f"array_distinct({wmins})")).alias("h"))
         .distinct()
     )
 
@@ -610,15 +616,18 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     both documents (the winnowing guarantee).  Pairs sharing >= T distinct
     fingerprints are reported.
 
-    Scale: O(total_chars) gram rows through ONE shuffle (window partitioned
-    by doc_id); density ~2/(W+1) fingerprints per char, so the inverted
-    fingerprint index is ~5x smaller than the gram table before the blocked
-    self-join (same Σ df(h)² cost shape + stop-fingerprint
-    WINNOW_FP_DF_CEILING cap + AQE skew-split mitigation as the shingle
-    index — the cap bounds the one adversarial input left: a boilerplate
-    fingerprint shared by millions of documents).  No Python in the plan:
-    substring/md5/conv are codegen expressions and the window min is a
-    single WindowExec."""
+    Scale: fingerprint selection is SHUFFLE-FREE (round 10) — gram
+    hashing and the sliding window minima run as higher-order functions
+    inside the narrow scan stage (see winnow_fingerprints; the r5
+    WindowExec formulation exchanged + sorted the whole O(total_chars)
+    gram table, 91 GB of x256 sort spill).  The first exchange is the
+    ~2/(W+1)-density fingerprint distinct, ~5x smaller than the gram
+    table, before the blocked self-join (same Σ df(h)² cost shape +
+    stop-fingerprint WINNOW_FP_DF_CEILING cap + AQE skew-split mitigation
+    as the shingle index — the cap bounds the one adversarial input left:
+    a boilerplate fingerprint shared by millions of documents).  No
+    Python in the plan: substring/md5/conv/transform/array_min are all
+    JVM expressions."""
     d = _docs_spread(spark, sf_dir)
     fp = winnow_fingerprints(d)
     n_part = spark.sparkContext.defaultParallelism

@@ -381,21 +381,23 @@ def test_pagerank_final_plan_is_copartitioned_no_exchange(spark):
     assert "Exchange" not in plan, plan
 
 
-def test_winnow_fingerprints_window_is_chunk_partitioned(spark):
-    """The winnowing window sort must partition on (doc_id, chunk) — the
-    bounded-chunk evaluation — and reach the Window through exactly one
-    exchange (no repeated shuffles of the gram table)."""
+def test_winnow_fingerprints_selection_is_shuffle_free(spark):
+    """Round-10 contract: winnowing fingerprint SELECTION (gram hashing +
+    sliding window minima) runs as higher-order functions inside the
+    narrow scan stage — no WindowExec, no Sort, and the plan's ONLY
+    exchange is the final fingerprint distinct.  The r5 formulation
+    exchanged + sorted the whole O(total_chars) gram table (91 GB of
+    x256 sort spill, ledger item #2); a regression to any window/sort
+    based selection re-introduces that linear-in-corpus sort."""
     from datafusion_parallelism_spark.queries.llm import winnow_fingerprints
 
     d = spark.createDataFrame(
         [(1, "x" * 200), (2, "y" * 500)], "doc_id long, text string"
     )
     plan = physical_plan_str(winnow_fingerprints(d))
-    assert "Window" in plan, plan
-    import re
-
-    spec = re.search(r"windowspecdefinition\(([^)]*)\)", plan)
-    assert spec and "doc_id" in spec.group(1) and "chk" in spec.group(1), plan
+    assert "Window" not in plan, plan
+    assert "Sort" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
 
 
 def test_winnow_capped_fingerprints_df_window_rides_join_partitioning(spark):
@@ -403,8 +405,8 @@ def test_winnow_capped_fingerprints_df_window_rides_join_partitioning(spark):
     what the uncapped pipeline already shuffles: the df-count window runs
     over the same hashpartitioning(h) the pair self-join consumes.  The
     executed query plan truncates at the localCheckpoint, so this pins the
-    pre-checkpoint subtree directly — exactly three exchanges total:
-    (doc_id, chk) for the winnowing window sort, (doc_id, h) for the
+    pre-checkpoint subtree directly — exactly two exchanges total since
+    the round-10 shuffle-free fingerprint selection: (doc_id, h) for the
     fingerprint distinct, and h for the repartition the df window and
     join both ride."""
     from datafusion_parallelism_spark.queries.llm import (
@@ -416,7 +418,7 @@ def test_winnow_capped_fingerprints_df_window_rides_join_partitioning(spark):
         [(1, "x" * 200), (2, "y" * 500), (3, "x" * 150)], "doc_id long, text string"
     )
     plan = physical_plan_str(winnow_capped_fingerprints(winnow_fingerprints(d), 32))
-    assert plan.count("Exchange") == 3, plan
+    assert plan.count("Exchange") == 2, plan
     # The df window itself partitions on h and sits above the h-repartition.
     assert "windowspecdefinition(h#" in plan or "windowspecdefinition(h " in plan, plan
 
