@@ -451,7 +451,17 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
 
     Reference analog: none (the reference has no graph surface); this is
     the standard distributed formulation (cf. Suri & Vassilvitskii,
-    WWW'11 "Counting Triangles and the Curse of the Last Reducer")."""
+    WWW'11 "Counting Triangles and the Curse of the Last Reducer").
+
+    Join strategy (round 10): both the wedge join and the closing-edge
+    semi join build their hash table from an EDGE-sized side while the
+    potentially much larger wedge table streams, so they are forced to
+    shuffled-hash with hints — under SortMergeJoin the closing-edge probe
+    SORTED the whole Σ outdeg² wedge table (the r9 ledger's 29 GB x256
+    memory spill).  An SHJ build partition holds |E|/width rows, which
+    AQE's advisory sizing keeps bounded at any corpus size; the wedge
+    side is never sorted anywhere in the plan.  Kill-switch for paired
+    A/Bs: spark.graft.tri_shj=false (SMJ planner default)."""
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select("v"))
@@ -479,7 +489,12 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
     ).localCheckpoint(eager=False)
+    shj = (
+        edges.sparkSession.conf.get("spark.graft.tri_shj", "true") != "false"
+    )
     e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    if shj:
+        e2, e3 = e2.hint("shuffle_hash"), e3.hint("shuffle_hash")
     tri = (
         e1.join(
             e2,

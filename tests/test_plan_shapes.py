@@ -356,6 +356,40 @@ def test_triangle_corners_single_generator_pass(spark, sf_dir):
     assert plan.count("Exchange") <= 12, plan
 
 
+def test_triangle_wedge_table_never_sorted(spark):
+    """Round-10 contract: the Σ outdeg² wedge table streams through a
+    ShuffledHashJoin for the closing-edge semi probe (build = edge-sized
+    side) and the wedge join itself is also SHJ — under the SMJ planner
+    default the semi join SORTED the whole wedge table (29 GB of x256
+    memory spill, r9 ledger item #3).  Pins: both joins shuffled-hash, no
+    Sort anywhere in the plan; kill-switch spark.graft.tri_shj=false
+    restores the planner default (SMJ at non-broadcast sizes)."""
+    from datafusion_parallelism_spark.operators.graph import triangle_counts
+
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(12) for j in range(i + 1, 12) if (i + j) % 3],
+        schema="u long, v long",
+    )
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "true",
+        },
+    ):
+        plan = physical_plan_str(triangle_counts(edges)).split(
+            "== Initial Plan =="
+        )[0]
+        assert plan.count("ShuffledHashJoin") == 2, plan
+        assert "SortMergeJoin" not in plan, plan
+        assert "Sort " not in plan, plan
+        with _with_conf(spark, {"spark.graft.tri_shj": "false"}):
+            plan = physical_plan_str(triangle_counts(edges)).split(
+                "== Initial Plan =="
+            )[0]
+            assert "SortMergeJoin" in plan, plan
+
+
 def test_pagerank_final_plan_is_copartitioned_no_exchange(spark):
     """The returned ranks view (nodes ⋈ final contribs, both checkpoint-
     partitioned at state width) must plan exchange-free: losing the
