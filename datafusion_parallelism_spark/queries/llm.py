@@ -270,6 +270,43 @@ def _blocked_shingle_index(d: DataFrame, n_part: int) -> DataFrame:
     return _blocked_index_from_arrays(_doc_shingles(d), n_part)
 
 
+def _pair_parallelism(spark: SparkSession) -> int:
+    """Width for the blocked pair self-joins' explicit key repartitions:
+    max(cores, session shuffle width).  defaultParallelism alone (the
+    pre-round-10 choice) is a FIXED 32 on any corpus — at the x256
+    replica the session's data-proportional width is 128, and pinning
+    the index to 32 starved the join stages to a quarter of the
+    intended parallelism with 4x the per-task aggregate state.  The
+    session conf scales with input bytes (session.auto_shuffle_partitions)
+    and AQE coalesces any excess at small factors; the cores floor keeps
+    the historical fan-out guarantee (shingle explode ~50x the input
+    bytes the conf was sized from)."""
+    return max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+
+
+def _stream_pairs(pairs: DataFrame) -> DataFrame:
+    """Route a Σ df(key)² candidate-pair stream through a pair-keyed
+    exchange BEFORE its count aggregate (see winnow_pair_counts for the
+    x256 stage-counter evidence: the map-side partial aggregate combines
+    only ~2.5-3x — a pair sharing n keys lands in ~n different key
+    partitions — while its hash map exceeds the task memory share and
+    falls back to sort-based aggregation, re-sorting the whole stream;
+    28.6 GB of memory spill on dedup_ngram_jaccard's pair stage alone).
+    With the exchange below the aggregate, the join stage hash-routes
+    pair rows straight to the shuffle and each reduce task counts its
+    own pairs over an AQE-coalesced input — bounded state at any corpus
+    size.  Kill-switch for paired A/Bs: spark.graft.pair_stream=false."""
+    if (
+        pairs.sparkSession.conf.get("spark.graft.pair_stream", "true")
+        != "false"
+    ):
+        return pairs.repartition("doc_a", "doc_b")
+    return pairs
+
+
 def _blocked_index_from_arrays(arrays: DataFrame, n_part: int) -> DataFrame:
     """``_blocked_shingle_index`` starting from an already-built
     (doc_id, shingles, n) table — lets callers that ALSO need the per-doc
@@ -357,22 +394,25 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceiling the Σ df² cost grows super-linearly as common boilerplate
     accumulates — measured 33 s at x16 -> 314 s at x64 before the cap."""
     d = _docs_spread(spark, sf_dir)
-    # Explode fan-out (~50 shingles/doc) makes the bytes-proportional
-    # shuffle-partition default too low for the self-join; repartition by
-    # the join key at full parallelism (co-partitions BOTH aliases, so the
-    # join adds no further exchange).  The pair count deliberately has NO
-    # repartition before it: groupBy keeps its map-side partial aggregate
-    # that way, so repeated (doc_a, doc_b) pairs combine before the
-    # shuffle instead of all Σdf(s)² raw pairs crossing the network
-    # (measured 49.6 → 45.5 s at 16×; +input spread → 33.1 s, vs DuckDB
-    # 45.9 s for the identical algorithm).
-    n_part = spark.sparkContext.defaultParallelism
+    # Repartition the index by the join key (co-partitions BOTH aliases,
+    # so the join adds no further exchange) at data-proportional width —
+    # see _pair_parallelism.  The pair count STREAMS through a pair-keyed
+    # exchange (round 10, replacing the r2 map-side-combine posture whose
+    # 16x-scale measurement predated the x256 evidence): _stream_pairs.
+    n_part = _pair_parallelism(spark)
     arrays = _shared_shingle_arrays(d)
     sh = _blocked_index_from_arrays(arrays, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _stream_pairs(
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -417,13 +457,20 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile, the stop-shingle ceiling, and the AQE skew-split mitigation
     for hot shingles."""
     d = _docs_spread(spark, sf_dir)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = _pair_parallelism(spark)
     arrays = _shared_shingle_arrays(d)
     sh = _blocked_index_from_arrays(arrays, n_part)
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        _stream_pairs(
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            ).select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -649,7 +696,7 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM expressions."""
     d = _docs_spread(spark, sf_dir)
     fp = winnow_fingerprints(d)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = _pair_parallelism(spark)
     return winnow_pair_counts(fp, n_part).filter(F.col("shared_fps") >= WINNOW_T)
 
 
@@ -728,7 +775,7 @@ def dedup_winnow_hot_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the semantics regardless."""
     d = _docs_spread(spark, sf_dir)
     fp = winnow_fingerprints(d)
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = _pair_parallelism(spark)
     return winnow_hot_pair_counts(fp, n_part).filter(
         F.col("shared_hot_fps") >= WINNOW_T
     )
