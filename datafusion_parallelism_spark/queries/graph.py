@@ -210,9 +210,23 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Adversarial-input guard (r4): baskets larger than _TRI_MAX_BASKET are
     excluded before the quadratic pair expansion — see co_purchase_edges."""
     li = load(spark, sf_dir, "lineitem")
+    # repartition("o") BEFORE the distinct (round 10): hashpartitioning(o)
+    # satisfies the distinct's (o, p) clustering (same o => same
+    # partition), the basket window's o-partitioning, AND the pair
+    # self-join's o key — so the whole derivation runs on ONE |lineitem|
+    # exchange instead of two, and the distinct aggregates reduce-side
+    # over an AQE-coalesced input.  The default plan's map-side distinct
+    # was the setup stage's 10.4 GB x256 spill: (o, p) rows off a
+    # lineitem scan are ~unique, so the partial aggregate combined
+    # nothing and fell back to sort-based aggregation over the whole
+    # scan (docs/spill_ledger_r10.jsonl).  Kill-switch:
+    # spark.graft.pair_stream=false (the same class toggle).
     pu = li.select(
         F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
+    )
+    if spark.conf.get("spark.graft.pair_stream", "true") != "false":
+        pu = pu.repartition("o")
+    pu = pu.distinct()
     e = co_purchase_edges(pu)
     return triangle_counts(e).select(
         F.col("node").alias("part"), "triangles"
@@ -254,9 +268,25 @@ def co_purchase_edges(
         )
     pruned = sized.filter(F.col("basket") <= max_basket).select("o", "p")
     a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = a.join(
+        b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p"))
+    ).select(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+    # STREAM the Σ basket² pair rows through a (u, v) exchange before the
+    # co-occurrence count (round 10) — the same partial-agg fallback class
+    # as the dedup pair counts (queries/llm.py _stream_pairs): a pair
+    # repeats once per SHARED ORDER, i.e. usually 1-2 times spread across
+    # different o-partitions, so the map-side partial aggregate combines
+    # ~nothing while its hash map falls back to sort-based aggregation
+    # and re-sorts the whole pair stream (the 10.4 GB x256 spill in the
+    # triangle setup stage, docs/spill_ledger_r10.jsonl).  Kill-switch:
+    # spark.graft.pair_stream=false (shared with the dedup pair counts).
+    if (
+        pairs.sparkSession.conf.get("spark.graft.pair_stream", "true")
+        != "false"
+    ):
+        pairs = pairs.repartition("u", "v")
     return (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("u"), F.col("b.p").alias("v"))
+        pairs.groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= min_shared)
         .select("u", "v")

@@ -723,9 +723,17 @@ def winnow_hot_pair_counts(
         .withColumn("rep", F.min("doc_id").over(w))
         .filter(F.col("df") > ceiling)
     )
+    # _stream_pairs: a (rep, member) pair repeats once per shared HOT
+    # fingerprint, dispersed across h-partitions — the same no-combine
+    # dispersion as the main pair count, and this path only matters on
+    # exactly the adversarial mass-duplicate inputs where the stream is
+    # large.
     return (
-        hot.filter(F.col("doc_id") > F.col("rep"))
-        .select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b"))
+        _stream_pairs(
+            hot.filter(F.col("doc_id") > F.col("rep")).select(
+                F.col("rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            )
+        )
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared_hot_fps"))
     )
