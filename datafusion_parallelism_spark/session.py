@@ -161,17 +161,16 @@ def get_spark(
         # second shuffle.  (Static stays at 10 MB estimated; runtime gets
         # the bigger allowance precisely because it cannot be wrong.)
         .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "64MB")
-        # AQE's default coalescing (parallelismFirst=true) merges shuffle
-        # partitions down to exactly defaultParallelism — ONE wave of
-        # maximum-size sort tasks.  On join_inner_chain at the x256 replica
-        # that packed a 1.66 GB zstd exchange into ~37 tasks whose sorts
-        # decompressed to ~250 MB each; with every core holding one, peak
-        # execution memory hit the entire unified pool and the SMJ reduce
-        # stage spilled 5.4 GB (memory) / 1.5 GB (disk) — the ×2.81
-        # super-linear x128→x256 leg of VERDICT r8 item 1.  x128 fit and
-        # spilled ZERO (docs/decomp_chain_r9.jsonl: the only metric that
-        # flips between the factors).  Respecting the advisory size instead
-        # keeps sort inputs bounded regardless of data volume: partitions
+        # AQE coalescing with the DEFAULT 64 MB advisory merges shuffle
+        # partitions down to one wave of maximum-size sort tasks.  On
+        # join_inner_chain at the x256 replica that packed a 1.66 GB zstd
+        # exchange into ~37 tasks whose sorts decompressed to ~250 MB each;
+        # with every core holding one, peak execution memory hit the entire
+        # unified pool and the SMJ reduce stage spilled 5.4 GB (memory) /
+        # 1.5 GB (disk) — the ×2.81 super-linear x128→x256 leg of VERDICT
+        # r8 item 1.  x128 fit and spilled ZERO (docs/decomp_chain_r9.jsonl:
+        # the only metric that flips between the factors).  A 16 MB advisory
+        # bounds per-task sort state regardless of data volume: partitions
         # per stage GROW with data (waves of small sorts) rather than
         # growing per-task state.  16 MB compressed ≈ 5× decompression +
         # sorter pointer overhead ≈ 120 MB/task, comfortably inside this
@@ -179,12 +178,27 @@ def get_spark(
         # any sane executor (memory/core ≫ advisory × codec ratio).  Paired
         # interleaved A/B at x256: median −29% wall and the baseline's wild
         # 29.6–64.1 s spill-driven variance collapses (probe.py
-        # --paired-conf, 2026-08-16).  The AQE_MIN_INPUT_BYTES gate applies
+        # --paired-conf, 2026-08-16).
+        #
+        # parallelismFirst stays at its TRUE default — the r9 fix first
+        # shipped with parallelismFirst=false, which sets Spark's coalesce
+        # minNumPartitions to 1 so target size = advisory FLAT; every
+        # sub-512 MB exchange (advisory × defaultParallelism) then
+        # coalesces below one task per core and small/mid queries ran
+        # 1.4–2.8× slower at the x64 replica than the r8 audit (the r10
+        # full-registry audit caught it; docs/full_registry_x64_r10_notes.md).
+        # With parallelismFirst=true, target = max(min(total/parallelism,
+        # advisory), 1MB): small exchanges keep one-task-per-core waves and
+        # big exchanges still cap at the 16 MB advisory, so the spill bound
+        # is STRICTLY preserved (target_true ≤ target_false for the same
+        # advisory).  Paired-conf A/Bs: x64 regressed queries −13/-16/-19/-31%
+        # with true; x256 join_inner_chain 0.976 (identical plans, spill
+        # stays zero) and x256 dedup_winnow_spans 1.088 (true also faster);
+        # docs/chain_paired_r10.jsonl.  The AQE_MIN_INPUT_BYTES gate applies
         # to benchmark_session (measurement posture) only; driver/
         # correctness sessions built by get_spark keep AQE on at every
-        # scale, so they do pick these up — harmless for correctness, and
-        # at MB scale coalescing hits the 1-partition floor either way.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # scale, so they do pick these up — harmless for correctness.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16MB")
         # ContextCleaner can only release finished broadcasts/shuffle files
         # after a DRIVER GC collects their references; the 30-minute default

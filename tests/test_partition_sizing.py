@@ -165,16 +165,25 @@ def test_parquet_scan_tasks_empty_directory_falls_back_to_bytes(tmp_path):
 
 
 def test_aqe_coalesce_respects_advisory_size(spark):
-    """Pin the r9 spill-cliff fix: parallelism-first coalescing merges
-    every exchange down to one wave of maximum-size sorts, whose per-task
-    state grows linearly with data volume — at the x256 replica that
-    crossed the execution-memory pool and spilled 5.4 GB where x128 spilled
-    zero (BASELINE.md §Round 9, docs/decomp_chain_r9.jsonl).  The advisory
-    target bounds per-task sort state so data growth adds task waves
-    instead."""
+    """Pin the r9 spill-cliff fix AND its r10 correction.  A 64 MB (default)
+    advisory lets coalescing merge every exchange into one wave of
+    maximum-size sorts, whose per-task state grows linearly with data
+    volume — at the x256 replica that crossed the execution-memory pool and
+    spilled 5.4 GB where x128 spilled zero (BASELINE.md §Round 9,
+    docs/decomp_chain_r9.jsonl).  The 16 MB advisory bounds per-task sort
+    state so data growth adds task waves instead.
+
+    parallelismFirst must stay TRUE (Spark's default): the fix first
+    shipped with false, which sets coalesce minNumPartitions to 1 so every
+    sub-512 MB exchange collapsed below one task per core — small/mid
+    queries ran 1.4–2.8× slower at x64 (r10 registry audit).  With true the
+    target is max(min(total/parallelism, advisory), 1MB), so the 16 MB sort
+    bound is strictly preserved for big exchanges while small ones keep
+    full parallelism (BASELINE.md §Round 10,
+    docs/full_registry_x64_r10_notes.md)."""
     assert (
         spark.conf.get("spark.sql.adaptive.coalescePartitions.parallelismFirst")
-        == "false"
+        == "true"
     )
     assert (
         spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
