@@ -24,9 +24,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from ..operators.joins import equi_join
-from ..session import load
+from ..session import load, spread_for_compute
 from .registry import query
+
+
+def _customer_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer with compute-grade parallelism for the null-key fan-out
+    joins.  Both null-key scenarios join the full customer table to the
+    full supplier table on a 25-value key domain, so the broadcast-hash
+    probe multiplies every customer row by |supplier|/25 — output is
+    ~2,500× input.  A broadcast join adds NO exchange, which means output
+    parallelism = probe-side SCAN splits, and those are sized by INPUT
+    bytes: at the x64 replica the customer scan got 3 splits and the whole
+    2.5 G-row materialization ran on 3 of 32 cores (ledger: one stage,
+    3 tasks, 145 s/task, zero spill/shuffle).  Spreading the probe side to
+    session width first is a ~25 MB round-robin shuffle that buys 32-way
+    output materialization; spread_for_compute makes it a no-op whenever
+    the scan already has ≥cores non-empty splits (any real data size).
+    Scale lesson: size a fan-out join's probe splits by estimated OUTPUT,
+    not input — input-byte splits starve any join whose selectivity ≫ 1."""
+    return spread_for_compute(
+        load(spark, sf_dir, "customer"),
+        input_path=os.path.join(sf_dir, "customer.parquet"),
+    )
 
 
 @query(
@@ -95,8 +118,9 @@ def join_inner_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def join_inner_null_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NULL join keys never match (= semantics, null_equals_null=false —
-    use_parallel_hash_join_rule.rs:87-89; null-key test at lib.rs:149-193)."""
-    customer = load(spark, sf_dir, "customer").select(
+    use_parallel_hash_join_rule.rs:87-89; null-key test at lib.rs:149-193).
+    Probe side spread to session width — see _customer_spread."""
+    customer = _customer_spread(spark, sf_dir).select(
         "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
     )
     supplier = load(spark, sf_dir, "supplier").select(
@@ -341,8 +365,9 @@ def join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     to stock DataFusion for it — Spark supports it natively in the same
     hash-join operators, so this extends the envelope rather than porting
     it.  The NULL bucket is a deliberate skew point (every NULL row hashes
-    together); AQE skew-split is the mitigation at scale."""
-    customer = load(spark, sf_dir, "customer").select(
+    together); AQE skew-split is the mitigation at scale.  Probe side
+    spread to session width — see _customer_spread."""
+    customer = _customer_spread(spark, sf_dir).select(
         "c_custkey", F.nullif(F.col("c_nationkey"), F.lit(3)).alias("ck")
     )
     supplier = load(spark, sf_dir, "supplier").select(

@@ -189,3 +189,24 @@ def test_aqe_coalesce_respects_advisory_size(spark):
         spark.conf.get("spark.sql.adaptive.advisoryPartitionSizeInBytes")
         == "16MB"
     )
+
+
+def test_fanout_join_probe_side_is_spread(spark, sf_dir):
+    """Pin the r10 fan-out-probe fix (BASELINE.md §Round 10 item 5): the
+    null-key joins probe a broadcast supplier hash with the full customer
+    table on a 25-value key domain, so output is ~2,500x input — but a
+    broadcast join adds no exchange, leaving output parallelism equal to
+    the probe-side scan's INPUT-byte-sized splits (3 tasks at the x64
+    replica; 161 s -> 27 s once spread).  The queries must keep the
+    probe-side round-robin spread to session width whenever the scan is
+    narrower than the core count.  Pinned via the plan shape (a
+    RoundRobinPartitioning exchange at session width below the join) —
+    the RUNTIME partition count is AQE's to coalesce at tiny scale, and
+    that adaptivity is desired, not a regression."""
+    from datafusion_parallelism_spark.queries import REGISTRY
+
+    target = spark.sparkContext.defaultParallelism
+    for name in ("join_nullsafe", "join_inner_null_keys"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert f"RoundRobinPartitioning({target})" in plan, (name, plan)
