@@ -583,15 +583,30 @@ def agg_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     ≤ 5 × rsd, i.e. five standard errors of the published HLL++ bound.
     A sketch bug flips the boolean and breaks the hash match; the exact
     side doubles as the audit column.  (Error magnitude is additionally
-    pinned in tests/test_sketches.py.)"""
+    pinned in tests/test_sketches.py.)
+
+    The sketch and the exact count run as SEPARATE aggregations joined on
+    the tiny per-type result — never in one .agg().  Mixing a distinct
+    aggregate with a non-distinct one makes RewriteDistinctAggregates key
+    the first partial aggregate by (group key, distinct key, gid), so
+    every imperative aggregate buffer — here the rsd-1% HLL++ sketch,
+    ~16 KB of registers — is allocated per (event_type, user_id) GROUP
+    instead of per event_type: |users| sketches, not |types|.  Ledger at
+    the x64 replica: 15 GB peak execution memory and 75 GB memory-spill
+    in that one partial stage.  Split, each pass is the shape HLL exists
+    for: fixed-size sketches merged map-side (|types| × 16 KB total) next
+    to a plain two-phase exact distinct; the join adds one exchange of
+    |types| rows."""
     e = load(spark, sf_dir, "events")
+    sketch = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.01).alias("approx"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n"),
-        )
+        sketch.join(exact, "event_type")
         .select(
             "event_type",
             "exact_users",
