@@ -28,8 +28,25 @@ from ..operators.multimodal import (
     real_asset_features,
     resize_images,
 )
-from ..session import load
+from ..session import load, spread_for_compute
 from .registry import query
+
+
+def _docs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with compute-grade parallelism (the llm-corpus pattern,
+    queries/llm.py): every query here runs payload construction
+    (md5/repeat/unhex over KB blobs) or real-codec decode (mapInPandas)
+    whose CPU is orders of magnitude above the scan bytes, so the
+    INPUT-byte-sized scan splits starve it — the x64 ledger showed
+    mm_assets_summary as one 9-task stage, 284 s CPU, zero spill on a
+    32-core box.  spread_for_compute is a no-op whenever the scan
+    already has ≥cores non-empty row-group splits (any real data size)."""
+    import os
+
+    return spread_for_compute(
+        load(spark, sf_dir, "documents"),
+        input_path=os.path.join(sf_dir, "documents.parquet"),
+    )
 
 _N_BYTES_SQL = """
     CASE WHEN doc_id % 3 = 0 THEN (32 + doc_id % 32) * (32 + doc_id % 16)
@@ -69,7 +86,7 @@ def mm_assets_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asset-table plumbing check: payload byte length must equal the typed
     metadata on every row, and the payload BYTES themselves hash-match the
     oracle's independently-constructed blobs.  All JVM-side (no UDF)."""
-    assets = build_assets(load(spark, sf_dir, "documents"))
+    assets = build_assets(_docs_spread(spark, sf_dir))
     return assets.groupBy("modality").agg(
         F.count(F.lit(1)).alias("n_assets"),
         F.sum(F.length("payload")).alias("total_bytes"),
@@ -146,7 +163,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     is exact by construction: every reduction is an integer sum, std is
     the explicit sqrt(E[x^2]-E[x]^2) on both sides, and histogram
     fractions are the identical int/int division."""
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     assets = (
         build_bmp_assets(docs)
         .withColumn("modality", F.lit("image"))
@@ -198,7 +215,7 @@ def mm_resize_images(spark: SparkSession, sf_dir: str) -> DataFrame:
     ((j*h)//16 * w + (i*w)//16) and must reproduce the integer checksum
     exactly — pinning the decode byte order, the reshape(h, w) row-major
     layout, and the resize index arithmetic."""
-    assets = build_assets(load(spark, sf_dir, "documents"))
+    assets = build_assets(_docs_spread(spark, sf_dir))
     return resize_images(assets)
 
 
@@ -231,7 +248,7 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     sqrt(E[x^2]-E[x]^2) form on both sides — bit-identical doubles."""
     from ..operators.multimodal import build_video_assets, video_frame_sample
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return video_frame_sample(build_video_assets(docs))
 
 
@@ -275,7 +292,7 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     signbit(w[:-1]) != signbit(w[1:]) pairing exactly."""
     from ..operators.multimodal import build_saw_wav_assets, wav_window_features
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return wav_window_features(build_saw_wav_assets(docs))
 
 
@@ -313,7 +330,7 @@ def mm_audio_wav_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the amplitude and crossings are 256/half_period - 1."""
     from ..operators.multimodal import build_wav_assets, wav_window_features
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return wav_window_features(build_wav_assets(docs))
 
 
@@ -345,5 +362,5 @@ def mm_image_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact IEEE division SUM/count on both sides (no rounding needed)."""
     from ..operators.multimodal import build_bmp_assets, bmp_pixel_stats
 
-    docs = load(spark, sf_dir, "documents")
+    docs = _docs_spread(spark, sf_dir)
     return bmp_pixel_stats(build_bmp_assets(docs))
