@@ -298,13 +298,27 @@ def _stream_pairs(pairs: DataFrame) -> DataFrame:
     With the exchange below the aggregate, the join stage hash-routes
     pair rows straight to the shuffle and each reduce task counts its
     own pairs over an AQE-coalesced input — bounded state at any corpus
-    size.  Kill-switch for paired A/Bs: spark.graft.pair_stream=false."""
-    if (
-        pairs.sparkSession.conf.get("spark.graft.pair_stream", "true")
-        != "false"
-    ):
+    size.  Kill-switch for paired A/Bs: spark.graft.pair_stream=false.
+
+    The exchange width is EXPLICIT at pair_width_factor × session width
+    (r10): a column-only repartition inherits spark.sql.shuffle.partitions,
+    which is sized from INPUT bytes — but the pair stream is Σ df²,
+    superlinear in input, so the reduce-side count aggregate's hash map
+    grows per-task with scale (dedup_containment x64 ledger: 35 tasks,
+    30 GB aggregate peak ≈ 0.9 GB/task, 46 GB memory-spill under
+    32-concurrent-task pool contention).  AQE can coalesce an oversized
+    exchange but can never SPLIT an undersized one, so the width must
+    start data-ahead; the ×4 default buys one decade of pair-volume
+    growth and costs only smaller tasks where the stream is small.
+    Kill-switch: spark.graft.pair_width_factor=0 restores the
+    column-only (session-width, AQE-coalescible) exchange."""
+    spark = pairs.sparkSession
+    if spark.conf.get("spark.graft.pair_stream", "true") == "false":
+        return pairs
+    factor = int(spark.conf.get("spark.graft.pair_width_factor", "4"))
+    if factor <= 0:
         return pairs.repartition("doc_a", "doc_b")
-    return pairs
+    return pairs.repartition(factor * _pair_parallelism(spark), "doc_a", "doc_b")
 
 
 def _blocked_index_from_arrays(arrays: DataFrame, n_part: int) -> DataFrame:
