@@ -1892,12 +1892,33 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     review gate).  Scale shape: the benchmark shingle set is tiny relative
     to the corpus (eval suites vs 100 TB), so it BROADCASTS and the
     training side is one map-side semi-join + aggregation — the corpus
-    never shuffles for the membership test."""
+    never shuffles for the membership test.
+
+    The ``source`` split happens BEFORE shingling (round 10): the r2-r9
+    shape shingled the WHOLE corpus and attached ``source`` with a
+    doc_id join, then filtered each branch — the source predicate pushes
+    only into the join's metadata side, so tokenize+shingle (the
+    dominant cost) ran over every document TWICE, once per branch.
+    Filtering the scan first pushes ``source`` into parquet
+    (PushedFilters) and each document is shingled exactly once, in
+    exactly one branch; the doc_id attach join disappears entirely.
+    Kill-switch for paired A/Bs: ``spark.graft.decon_split=false``
+    restores the shingle-then-filter shape."""
     d = _docs_spread(spark, sf_dir)
-    sh = _shingle_table(d).join(d.select("doc_id", "source"), "doc_id")
-    bench = sh.filter(F.col("source") == "src1").select("s").distinct()
+    if spark.conf.get("spark.graft.decon_split", "true") == "false":
+        sh = _shingle_table(d).join(d.select("doc_id", "source"), "doc_id")
+        bench = sh.filter(F.col("source") == "src1").select("s").distinct()
+        return (
+            sh.filter(F.col("source") != "src1")
+            .join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+    bench = (
+        _shingle_table(d.filter(F.col("source") == "src1")).select("s").distinct()
+    )
     return (
-        sh.filter(F.col("source") != "src1")
+        _shingle_table(d.filter(F.col("source") != "src1"))
         .join(F.broadcast(bench), "s")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))

@@ -1,8 +1,12 @@
 """Streaming corpus entries.
 
 Each query executes a Structured Streaming plan to completion over the
-available files (``trigger(availableNow)``) into a memory sink and returns
-the result table — so the driver's correctness gate can hash-match
+available files (``trigger(availableNow)``) into a distributed
+foreachBatch parquet sink (``run_to_table`` — content-identical to the
+memory sink without the driver collect/re-ship hop; queries whose output
+is bounded by the time range rather than the data volume pass
+``driver_bounded=True`` and keep the cheaper memory sink) and returns the
+result table — so the driver's correctness gate can hash-match
 streaming semantics against a batch DuckDB oracle where event-time
 semantics are SQL-expressible (tumbling windows, final running totals).
 Session windows keep ``oracle=None``: gap-based session boundaries are a
@@ -19,7 +23,7 @@ from ..streaming.events import (
     hourly_counts_stream,
     read_events_stream,
     run_foreachbatch_upsert,
-    run_to_memory,
+    run_to_table,
     session_windows_stream,
     user_running_totals_stream,
 )
@@ -41,12 +45,13 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour event-time windows with watermark, executed as an
     incremental stream; the complete-mode result must equal the batch
     aggregation (same rows DuckDB computes)."""
-    run_to_memory(
+    t = run_to_table(
         hourly_counts_stream(read_events_stream(spark, sf_dir)),
         "q_stream_hourly",
         output_mode="complete",
+        driver_bounded=True,  # O(#hours × #event_types) rows at any corpus size
     )
-    return spark.table("q_stream_hourly").select(
+    return t.select(
         F.date_format("hour_start", "yyyy-MM-dd HH:00").alias("hour_bucket"),
         "event_type",
         "n",
@@ -65,12 +70,11 @@ def stream_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_user_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState) run to completion:
     the final per-user running totals must equal the batch group-by."""
-    run_to_memory(
+    totals = run_to_table(
         user_running_totals_stream(read_events_stream(spark, sf_dir)),
         "q_stream_totals",
         output_mode="update",
     )
-    totals = spark.table("q_stream_totals")
     # update mode emits one row per key per micro-batch; keep the last.
     from pyspark.sql import Window
 
@@ -116,12 +120,11 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is the half-open [start, last_ts + gap) — an event exactly at
     the close boundary starts a NEW session), session_end = last event +
     gap.  Batch-equivalence is additionally pinned in tests."""
-    run_to_memory(
+    return run_to_table(
         session_windows_stream(read_events_stream(spark, sf_dir)),
         "q_stream_sessions",
         output_mode="complete",
     )
-    return spark.table("q_stream_sessions")
 
 
 @query(
@@ -141,12 +144,11 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB computes."""
     from ..streaming.events import purchase_click_join_stream
 
-    run_to_memory(
+    return run_to_table(
         purchase_click_join_stream(read_events_stream(spark, sf_dir)),
         "q_stream_ssj",
         output_mode="append",
     )
-    return spark.table("q_stream_ssj")
 
 
 @query(
@@ -169,12 +171,13 @@ def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows (which is exactly what the oracle's UNION ALL does)."""
     from ..streaming.events import sliding_counts_stream
 
-    run_to_memory(
+    t = run_to_table(
         sliding_counts_stream(read_events_stream(spark, sf_dir)),
         "q_stream_sliding",
         output_mode="complete",
+        driver_bounded=True,  # O(#windows) rows at any corpus size
     )
-    return spark.table("q_stream_sliding").select(
+    return t.select(
         F.date_format("window_start", "yyyy-MM-dd HH:00").alias("window_start"),
         "n",
         "value_sum",
@@ -190,12 +193,11 @@ def stream_dedup_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     of surviving keys must equal the batch DISTINCT."""
     from ..streaming.events import dedup_keys_stream
 
-    run_to_memory(
+    return run_to_table(
         dedup_keys_stream(read_events_stream(spark, sf_dir)),
         "q_stream_dedup",
         output_mode="append",
     )
-    return spark.table("q_stream_dedup")
 
 
 @query(
@@ -214,12 +216,11 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.events import static_enrich_stream
 
     dim = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    run_to_memory(
+    return run_to_table(
         static_enrich_stream(read_events_stream(spark, sf_dir), dim),
         "q_stream_enrich",
         output_mode="append",
     )
-    return spark.table("q_stream_enrich")
 
 
 @query(

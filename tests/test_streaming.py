@@ -13,6 +13,7 @@ from datafusion_parallelism_spark.streaming.events import (
     hourly_counts_stream,
     read_events_stream,
     run_to_memory,
+    run_to_table,
     session_windows_stream,
     user_running_totals_stream,
 )
@@ -77,6 +78,105 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     for uid, (n, total) in expected.items():
         assert got[uid][0] == n
         assert got[uid][1] == pytest.approx(total, abs=0.02)
+
+
+def test_run_to_table_matches_memory_sink_complete(spark, sf_dir):
+    """The distributed foreachBatch parquet sink must hold row-for-row the
+    same table content as the memory sink it replaced — complete mode
+    (overwrite-per-batch vs truncate+add)."""
+    t = run_to_table(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "rtt_cmp_pq",
+        output_mode="complete",
+    )
+    run_to_memory(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        "rtt_cmp_mem",
+        output_mode="complete",
+    )
+    got = _rows(t, "hour_start", "event_type")
+    assert got == _rows(spark.table("rtt_cmp_mem"), "hour_start", "event_type")
+
+
+def test_run_to_table_matches_memory_sink_append(spark, sf_dir):
+    """Append mode: the parquet sink accumulates batches exactly like the
+    memory sink's row append."""
+    from datafusion_parallelism_spark.streaming.events import dedup_keys_stream
+
+    t = run_to_table(
+        dedup_keys_stream(read_events_stream(spark, sf_dir)),
+        "rtt_app_pq",
+        output_mode="append",
+    )
+    run_to_memory(
+        dedup_keys_stream(read_events_stream(spark, sf_dir)),
+        "rtt_app_mem",
+        output_mode="append",
+    )
+    got = _rows(t, "user_id", "event_type")
+    assert got == _rows(spark.table("rtt_app_mem"), "user_id", "event_type")
+
+
+def test_driver_bounded_routes_to_memory_sink(spark, sf_dir):
+    """driver_bounded=True (time-range-bounded output) keeps the memory
+    sink — no parquet staging dir is created — and an explicit
+    spark.graft.stream_sink conf overrides the flag, with identical
+    table content either way."""
+    import os
+    import shutil
+
+    name = "rtt_bounded"
+    staged = f"/tmp/spark_graft_stream_out/{os.getpid()}_{name}"
+    shutil.rmtree(staged, ignore_errors=True)
+    t = run_to_table(
+        hourly_counts_stream(read_events_stream(spark, sf_dir)),
+        name,
+        output_mode="complete",
+        driver_bounded=True,
+    )
+    mem_rows = _rows(t, "hour_start", "event_type")
+    assert not os.path.isdir(staged)
+    assert mem_rows
+    spark.conf.set("spark.graft.stream_sink", "parquet")
+    try:
+        t2 = run_to_table(
+            hourly_counts_stream(read_events_stream(spark, sf_dir)),
+            name,
+            output_mode="complete",
+            driver_bounded=True,
+        )
+        assert os.path.isdir(staged)
+        assert _rows(t2, "hour_start", "event_type") == mem_rows
+    finally:
+        spark.conf.unset("spark.graft.stream_sink")
+
+
+def test_bucketized_totals_emissions_match_per_user(spark, sf_dir):
+    """The hash-bucketized applyInPandasWithState operator must emit the
+    SAME rows as the per-user-key original (one row per batch-touched
+    user with accumulated totals) — only the state key granularity and
+    the Python-call batching change.  value_total is rounded to absorb
+    the within-batch float summation-order difference (groupby-sum of the
+    concatenated chunks vs chunk-sum accumulation)."""
+    bucketed = run_to_table(
+        user_running_totals_stream(read_events_stream(spark, sf_dir), buckets=16),
+        "bt_bucketed",
+        output_mode="update",
+    )
+    per_user = run_to_table(
+        user_running_totals_stream(read_events_stream(spark, sf_dir), buckets=0),
+        "bt_per_user",
+        output_mode="update",
+    )
+
+    def canon(df):
+        return _rows(
+            df.select("user_id", "n_events", F.round("value_total", 6).alias("v")),
+            "user_id",
+            "n_events",
+        )
+
+    assert canon(bucketed) == canon(per_user)
 
 
 def test_watermark_present_in_plan(spark, sf_dir):
