@@ -61,6 +61,22 @@ from pyspark.sql import functions as F
 #: used, now applied per-shuffle-point.
 _STATE_ROWS_PER_PARTITION = 50_000
 
+#: Edge-count ceiling for the single-task PageRank kernel (round 11).
+#: Below it, the whole power iteration runs inside ONE ``mapInArrow``
+#: task over the materialized edge table instead of 10 distributed
+#: join+aggregate rounds.  Rationale (guide §1.3 napkin math): a
+#: distributed iteration moves ~|E| rows through an exchange per
+#: iteration (10·|E| total) plus pays ~2 stage walls + a checkpoint per
+#: round — measured 0.26–0.29 s/iteration of almost pure scheduling
+#: overhead at sf0.1 (1.17M edges, ~80 ms of task time per round;
+#: docs/pagerank_decomp_r11.json) — while the kernel moves the edges
+#: ONCE and runs the 10 gather/scatter passes in vectorized NumPy
+#: (~20 ms each).  4M edges ≈ 24 B/edge ≈ 100 MB of task arrays, well
+#: inside one task's memory share on any sane executor; above the
+#: ceiling the distributed loop (the 100 TB path) is unchanged.
+#: Kill-switch: spark.graft.pagerank_local_max_edges=0.
+_PAGERANK_KERNEL_MAX_EDGES = 4_000_000
+
 
 def _state_parts(m: int, conf_parts: int) -> int:
     return max(4, min(conf_parts, -(-m // _STATE_ROWS_PER_PARTITION)))
@@ -104,6 +120,78 @@ def _sized(df: DataFrame, parts: int, conf_parts: int, *keys: str) -> DataFrame:
     if parts < conf_parts:
         return df.repartition(parts, *keys)
     return df
+
+
+def _pagerank_arrow(
+    edges: DataFrame,
+    damping: float,
+    iterations: int,
+    normalized: bool,
+    single_partition: bool = False,
+) -> DataFrame:
+    """Single-task PageRank over a small edge table.
+
+    ``edges``: (src, dst, w) with w = 1/outdeg(src) when ``normalized``,
+    else (src, dst) — the kernel then computes 1/outdeg itself with the
+    identical IEEE division.  Duplicates must already be collapsed.  All
+    ``iterations`` power-iteration steps run inside one ``mapInArrow``
+    task: contributions via ``np.bincount`` (the exact rank·w products
+    the distributed plan computes, summed per dst in index order — a
+    reordering of the same IEEE doubles, the tolerance every oracle
+    already grants the distributed SUM), dangling mass by the same
+    conservation identity D = 1 − Σ contrib the observe-based loop uses.
+
+    ``single_partition=False`` (post-materialization callers): the edges
+    are an already-checkpointed table, fetched into the one task by a
+    narrow ``coalesce(1)``.  ``single_partition=True`` (bounded-ahead
+    callers): the derivation has NOT been materialized, so a narrow
+    coalesce would collapse its upstream stages to one task too — a
+    keyless ``repartition(1)`` keeps the derivation parallel and moves
+    only the final |E| rows to the kernel task."""
+    node_t = edges.schema["src"].dataType.simpleString()
+    cols = ["src", "dst", "w"] if normalized else ["src", "dst"]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        parts: list = [[] for _ in cols]
+        for b in batches:
+            for i in range(len(cols)):
+                parts[i].append(b.column(i).to_numpy(zero_copy_only=False))
+        if not parts[0]:
+            return
+        src = np.concatenate(parts[0])
+        dst = np.concatenate(parts[1])
+        nodes, idx = np.unique(np.concatenate([src, dst]), return_inverse=True)
+        n = int(len(nodes))
+        if n == 0:
+            return
+        si = idx[: len(src)]
+        di = idx[len(src):]
+        if normalized:
+            w = np.concatenate(parts[2])
+        else:
+            outdeg = np.bincount(si, minlength=n).astype(np.float64)
+            with np.errstate(divide="ignore"):
+                winv = 1.0 / outdeg  # dangling nodes have no src rows
+            w = winv[si]
+        rank = np.full(n, 1.0 / n)
+        for _ in range(iterations):
+            contrib = np.bincount(di, weights=rank[si] * w, minlength=n)
+            dm = 1.0 - contrib.sum()
+            rank = (1.0 - damping) / n + damping * (contrib + dm / n)
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nodes), pa.array(rank, type=pa.float64())],
+            names=["node", "rank"],
+        )
+
+    one = (
+        edges.select(*cols).repartition(1)
+        if single_partition
+        else edges.select(*cols).coalesce(1)
+    )
+    return one.mapInArrow(kernel, schema=f"node {node_t}, rank double")
 
 
 def connected_components(
@@ -267,6 +355,7 @@ def pagerank(
     iterations: int = 10,
     checkpoint: bool = True,
     assume_distinct: bool = False,
+    approx_edge_bound: int | None = None,
 ) -> DataFrame:
     """PageRank with uniform teleport and dangling-mass redistribution.
 
@@ -325,6 +414,25 @@ def pagerank(
     e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
+    kernel_max = int(
+        spark.conf.get(
+            "spark.graft.pagerank_local_max_edges",
+            str(_PAGERANK_KERNEL_MAX_EDGES),
+        )
+    )
+    # Bounded-ahead kernel path (round 11): when the caller can bound the
+    # edge count from metadata (an UPPER bound, so the "small" decision is
+    # never wrong on a big graph), skip the distributed loop's whole setup
+    # — src-repartition, outdeg normalization join, presort, node
+    # checkpoint — and run the entire power iteration as ONE job: the
+    # derivation's stages feed a keyless single-partition exchange into
+    # the Arrow kernel, which computes 1/outdeg itself (the identical
+    # IEEE division).  See _PAGERANK_KERNEL_MAX_EDGES for the sizing
+    # argument; spark.graft.pagerank_local_max_edges=0 disables.
+    if approx_edge_bound is not None and approx_edge_bound <= kernel_max:
+        return _pagerank_arrow(
+            e, damping, iterations, normalized=False, single_partition=True
+        )
     # Pre-normalized edge weights: contribution of u to v is rank(u) * w
     # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
     # cross-engine drift reduces to SUM order alone.
@@ -351,6 +459,15 @@ def pagerank(
         m = obs_m.get["m"]
     else:
         m = e_norm.count()
+    # Small-graph fast path (round 11): once the edge count is measured
+    # (it rides the checkpoint job either way), a graph under the kernel
+    # ceiling runs every iteration inside one Arrow task — no node
+    # checkpoint, no per-iteration jobs, identical math (see
+    # _pagerank_arrow).  The distributed loop below stays the at-scale
+    # path; spark.graft.pagerank_local_max_edges=0 disables the kernel
+    # for paired A/Bs.
+    if m <= kernel_max:
+        return _pagerank_arrow(e_norm, damping, iterations, normalized=True)
     # Iteration-state width: see module docstring (_sized) — one partition
     # per ~50k state rows, floor 4, ceiling the session conf (no-op at real
     # scale), applied per shuffle point instead of the r4 session-conf flip.

@@ -24,6 +24,8 @@ granularity 1e-7).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -127,8 +129,23 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # assume_distinct: pairs is distinct and the odd/even node encoding
     # makes the symmetrized union disjoint, so pagerank's dedup exchange
     # would be a full |E|-sized no-op.
+    #
+    # approx_edge_bound (round 11): every lineitem row yields at most one
+    # (cust, supp) pair, so |edges| <= 2·|lineitem| after symmetrization —
+    # a metadata-only UPPER bound (parquet footer, no Spark job) that lets
+    # pagerank() take its single-task Arrow kernel path without first
+    # materializing the distributed loop's normalized/partitioned edge
+    # table.  On a big corpus the bound exceeds the kernel ceiling and the
+    # distributed loop runs exactly as before.
+    from ..session import parquet_num_rows
+
+    li_rows = parquet_num_rows(os.path.join(sf_dir, "lineitem.parquet"))
     ranks = pagerank(
-        edges, damping=_DAMPING, iterations=_ITERS, assume_distinct=True
+        edges,
+        damping=_DAMPING,
+        iterations=_ITERS,
+        assume_distinct=True,
+        approx_edge_bound=None if li_rows is None else 2 * li_rows,
     )
     return ranks.select(
         F.when(F.col("node") % 2 == 0, F.lit("customer"))

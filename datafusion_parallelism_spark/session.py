@@ -353,6 +353,29 @@ def parquet_scan_tasks(path: str, parallelism: int) -> int:
     return max(1, min(splits, groups))
 
 
+def parquet_num_rows(path: str) -> int | None:
+    """Row count of a parquet file (or directory of part files) from its
+    footer metadata — pure driver-side pyarrow, no Spark job.  ``None``
+    when the path is unreadable/non-parquet, so callers can treat the
+    count as an optional planning hint."""
+    try:
+        import pyarrow.parquet as pq
+
+        if os.path.isdir(path):
+            members = [
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+                and os.path.isfile(os.path.join(path, f))
+            ]
+            if not members:
+                return None
+            return sum(pq.ParquetFile(m).metadata.num_rows for m in members)
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # noqa: BLE001 — hint only; callers handle None
+        return None
+
+
 def spread_for_compute(
     df: DataFrame,
     target: int | None = None,

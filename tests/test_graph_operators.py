@@ -127,3 +127,40 @@ def test_pagerank_duplicate_edges_collapsed(spark):
     b = _pr(spark, [(1, 2), (1, 2), (2, 1)], iterations=5)
     for k in a:
         assert abs(a[k] - b[k]) < 1e-12
+
+
+def test_pagerank_kernel_matches_distributed_loop(spark):
+    """The r11 single-task Arrow kernel (default below
+    spark.graft.pagerank_local_max_edges) must emit the same ranks as the
+    distributed join+aggregate loop — including dangling-mass handling
+    (node 7 has no out-edges) and hub asymmetry."""
+    edges = [
+        (1, 3), (2, 3), (4, 3), (3, 1), (1, 2), (5, 1), (3, 7), (6, 7),
+    ]
+    kernel = _pr(spark, edges, damping=0.85, iterations=10)
+    prev = spark.conf.get("spark.graft.pagerank_local_max_edges", None)
+    spark.conf.set("spark.graft.pagerank_local_max_edges", "0")
+    try:
+        dist = _pr(spark, edges, damping=0.85, iterations=10)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.graft.pagerank_local_max_edges")
+        else:
+            spark.conf.set("spark.graft.pagerank_local_max_edges", prev)
+    assert kernel.keys() == dist.keys()
+    for k in dist:
+        assert abs(kernel[k] - dist[k]) < 1e-12
+    assert abs(sum(kernel.values()) - 1.0) < 1e-12
+
+
+def test_pagerank_kernel_plan_is_single_arrow_pass(spark):
+    """Below the edge ceiling the plan must be the one-task Arrow kernel:
+    a MapInArrow over the checkpointed edges, no joins at all."""
+    from datafusion_parallelism_spark.plans.shaping import physical_plan_str
+
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 6) for i in range(6)], schema="u long, v long"
+    )
+    plan = physical_plan_str(pagerank(edges, iterations=4))
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan

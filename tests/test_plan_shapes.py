@@ -335,7 +335,10 @@ def test_pagerank_iteration_plan_is_truncated(spark):
     edges = spark.createDataFrame(
         [(i, (i + 1) % 6) for i in range(6)], schema="u long, v long"
     )
-    plan = physical_plan_str(pagerank(edges, iterations=4))
+    # Kill the r11 small-graph Arrow kernel so this keeps pinning the
+    # DISTRIBUTED loop's plan shape (the kernel path has no joins at all).
+    with _with_conf(spark, {"spark.graft.pagerank_local_max_edges": "0"}):
+        plan = physical_plan_str(pagerank(edges, iterations=4))
     assert "Scan ExistingRDD" in plan, plan
     # One iteration = one edges-ranks join; a non-truncated plan would
     # contain 4+ joins.
@@ -409,7 +412,8 @@ def test_pagerank_final_plan_is_copartitioned_no_exchange(spark):
     prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
-        plan = physical_plan_str(pagerank(edges, iterations=3))
+        with _with_conf(spark, {"spark.graft.pagerank_local_max_edges": "0"}):
+            plan = physical_plan_str(pagerank(edges, iterations=3))
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
     assert "Exchange" not in plan, plan
@@ -595,7 +599,13 @@ def test_pagerank_pinned_nodes_side_no_exchange_under_aqe(spark):
         [(i, (i + 1) % 8) for i in range(8)] + [(0, 4), (2, 6)],
         schema="u long, v long",
     )
-    with _with_conf(spark, {"spark.sql.adaptive.enabled": "true"}):
+    with _with_conf(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.graft.pagerank_local_max_edges": "0",
+        },
+    ):
         plan = physical_plan_str(pagerank(edges, iterations=3)).split(
             "== Initial Plan =="
         )[0]
