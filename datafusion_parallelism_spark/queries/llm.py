@@ -27,7 +27,7 @@ import os
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
@@ -2823,7 +2823,10 @@ def _normalized_cols(vecs: DataFrame) -> DataFrame:
 
 
 def _pq_subv(
-    vecs: DataFrame, spark: SparkSession, checkpoint: bool = True
+    vecs: DataFrame,
+    spark: SparkSession,
+    checkpoint: bool = True,
+    count_into: list | None = None,
 ) -> DataFrame:
     """(vec_id, j, e1, e2): every L2-NORMALIZED vector split into its M
     2-dim subvectors (cosine-PQ: unit vectors make squared-L2 rank like
@@ -2859,7 +2862,276 @@ def _pq_subv(
     # AQE-off sessions; see plans/shaping.checkpoint_pinned).
     from ..plans.shaping import checkpoint_pinned, presorted
 
-    return checkpoint_pinned(presorted(subv, "vec_id", "j"))
+    pre_ckpt = presorted(subv, "vec_id", "j")
+    if count_into is None:
+        return checkpoint_pinned(pre_ckpt)
+    # Row count rides the (eager) checkpoint job as an observe metric —
+    # the one-task-training gate reads it for free (round 11).
+    obs = Observation()
+    out = checkpoint_pinned(
+        pre_ckpt.observe(obs, F.count(F.lit(1)).alias("m"))
+    )
+    count_into.append(obs.get["m"])
+    return out
+
+
+def _pq_arrow_on(spark: SparkSession) -> bool:
+    """Round-11 default: PQ assignment runs as a vectorized Arrow kernel
+    (see _pq_assign_arrow).  Kill-switch spark.graft.pq_arrow=false
+    restores the broadcast-join + min(struct) formulation."""
+    return spark.conf.get("spark.graft.pq_arrow", "true") != "false"
+
+
+#: Subvector-row ceiling for ONE-TASK Lloyd training (round 11).  The
+#: training loop is sequential by nature (each iteration's assignment
+#: needs the previous codebook), so the distributed form costs one
+#: driver-synced job per iteration plus a seed job — ~0.3 s of scheduling
+#: floor each at any toy/mid scale while the actual math is microseconds.
+#: Below this ceiling the whole fit runs inside one executor task
+#: (~24 B/row of NumPy arrays, ≈100 MB at the ceiling) and ships back
+#: only the M·K codebook; above it the per-iteration distributed jobs
+#: remain (the 100 TB posture — at that scale each job does real work).
+#: Kill-switch: spark.graft.pq_local_train_max=0.
+_PQ_LOCAL_TRAIN_MAX_SUBV = 4_000_000
+
+
+def _round_half_up(x, scale: int):
+    """Exact replica of Spark's ROUND (BigDecimal HALF_UP on the double's
+    exact binary value) for a NumPy array: vectorized half-away-from-zero
+    fast path, with a Decimal fallback for values within 1e-9 of a
+    rounding boundary where the ``x * 10^scale`` product's own rounding
+    could disagree with the exact decimal expansion."""
+    import numpy as np
+
+    p = 10.0 ** scale
+    y = x * p
+    ay = np.abs(y)
+    fl = np.floor(ay)
+    out = np.sign(y) * np.floor(ay + 0.5) / p
+    near = np.abs(ay - fl - 0.5) < 1e-9
+    if near.any():
+        from decimal import ROUND_HALF_UP, Decimal
+
+        q = Decimal(1).scaleb(-scale)
+        for i in np.nonzero(near)[0]:
+            out[i] = float(
+                Decimal(float(x[i])).quantize(q, rounding=ROUND_HALF_UP)
+            )
+    return out
+
+
+def _pq_train_local(subv: DataFrame) -> DataFrame:
+    """ONE-task Lloyd training: seed + every iteration (assign, means,
+    empty-cluster coalesce) inside a single ``mapInArrow`` task over the
+    checkpointed subvector table; emits the trained codebook (M·K rows).
+    Value-identical to the distributed loop: distances are the same IEEE
+    (e−a)·(e−a) ops, argmin over aid-sorted anchors reproduces the
+    MIN(aid) tie rule, means are sum/count doubles rounded with the
+    exact HALF_UP replica (_round_half_up); the only difference is
+    summation ORDER, which the _PQ_ROUND grid absorbs by design (the
+    same tolerance the oracle comparison already rests on)."""
+    iters, m_sub, k_anch, rnd = _PQ_ITERS, _PQ_M, _PQ_K, _PQ_ROUND
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cols: list = [[], [], [], []]
+        for b in batches:
+            for i in range(4):
+                cols[i].append(b.column(i).to_numpy(zero_copy_only=False))
+        if not cols[0]:
+            return
+        vec = np.concatenate(cols[0])
+        j = np.concatenate(cols[1]).astype(np.int64)
+        e1 = np.concatenate(cols[2])
+        e2 = np.concatenate(cols[3])
+        uids = np.unique(vec)
+        k_eff = min(k_anch, len(uids))
+        seeds = uids[:k_eff]
+        smask = np.isin(vec, seeds)
+        order = np.lexsort((vec[smask], j[smask]))
+        aid = vec[smask][order].reshape(m_sub, k_eff)
+        a1 = e1[smask][order].reshape(m_sub, k_eff).copy()
+        a2 = e2[smask][order].reshape(m_sub, k_eff).copy()
+        for _ in range(iters):
+            codek = np.empty(len(vec), np.int64)
+            for lo in range(0, len(vec), 1 << 18):
+                sl = slice(lo, lo + (1 << 18))
+                d1 = e1[sl, None] - a1[j[sl]]
+                d2 = e2[sl, None] - a2[j[sl]]
+                codek[sl] = np.argmin(d1 * d1 + d2 * d2, axis=1)
+            jk = j * k_eff + codek
+            cnt = np.bincount(jk, minlength=m_sub * k_eff)
+            s1 = np.bincount(jk, weights=e1, minlength=m_sub * k_eff)
+            s2 = np.bincount(jk, weights=e2, minlength=m_sub * k_eff)
+            nz = cnt > 0
+            a1.ravel()[nz] = _round_half_up(s1[nz] / cnt[nz], rnd)
+            a2.ravel()[nz] = _round_half_up(s2[nz] / cnt[nz], rnd)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(
+                    np.repeat(np.arange(m_sub, dtype=np.int32), k_eff)
+                ),
+                pa.array(aid.ravel()),
+                pa.array(a1.ravel(), type=pa.float64()),
+                pa.array(a2.ravel(), type=pa.float64()),
+            ],
+            names=["j", "aid", "a1", "a2"],
+        )
+
+    return (
+        subv.select("vec_id", "j", "e1", "e2")
+        .coalesce(1)
+        .mapInArrow(kernel, schema="j int, aid long, a1 double, a2 double")
+    )
+
+
+def _pq_anchor_arrays(rows):
+    """Codebook rows (j, aid, a1, a2) → three [M, K] NumPy arrays with the
+    K anchors of each subspace COLUMN-SORTED BY aid, so ``np.argmin``'s
+    first-minimum tie rule coincides with the oracle's MIN(aid)-among-
+    minima tie rule."""
+    import numpy as np
+
+    per_j: dict[int, list] = {}
+    for r in rows:
+        per_j.setdefault(r[0], []).append((r[1], r[2], r[3]))
+    aid = np.zeros((_PQ_M, _PQ_K), dtype=np.int64)
+    a1 = np.zeros((_PQ_M, _PQ_K), dtype=np.float64)
+    a2 = np.zeros((_PQ_M, _PQ_K), dtype=np.float64)
+    for j, lst in per_j.items():
+        lst.sort()
+        for k, (i, x1, x2) in enumerate(lst):
+            aid[j, k] = i
+            a1[j, k] = x1
+            a2[j, k] = x2
+    return aid, a1, a2
+
+
+def _pq_assign_arrow(
+    subv: DataFrame, aid, a1, a2, include_coords: bool
+) -> DataFrame:
+    """Nearest-anchor assignment as ONE vectorized Arrow pass (guide §4.2):
+    each batch computes the full (rows × K) squared-L2 distance matrix for
+    its subspaces with the identical IEEE ops the Catalyst expression runs
+    ((e−a)·(e−a), no power()), then ``argmin`` per row.  Replaces the
+    broadcast join's K-way row expansion (|corpus|·M·K intermediate rows,
+    the dominant CPU of every PQ query at every scale) with in-cache
+    NumPy; the codebook ([M,K] arrays, ~50 KB) rides the task closure.
+    Ties: anchors are aid-sorted per subspace, so argmin's first minimum
+    IS the smallest aid — the oracle's tie rule.  Emits
+    (vec_id, j, code, dmin[, e1, e2]); row order preserved, so the
+    pinned vec_id partitioning/ordering of the checkpointed subvector
+    table still makes downstream per-vector aggregates exchange-free."""
+    out_schema = "vec_id long, j int, code long, dmin double"
+    names = ["vec_id", "j", "code", "dmin"]
+    if include_coords:
+        out_schema += ", e1 double, e2 double"
+        names += ["e1", "e2"]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            j = b.column(1).to_numpy(zero_copy_only=False)
+            e1 = b.column(2).to_numpy(zero_copy_only=False)
+            e2 = b.column(3).to_numpy(zero_copy_only=False)
+            d1 = e1[:, None] - a1[j]
+            d2 = e2[:, None] - a2[j]
+            dist = d1 * d1 + d2 * d2
+            k = np.argmin(dist, axis=1)
+            rows = np.arange(len(k))
+            cols = [
+                b.column(0),
+                b.column(1),
+                pa.array(aid[j, k]),
+                pa.array(dist[rows, k], type=pa.float64()),
+            ]
+            if include_coords:
+                cols += [b.column(2), b.column(3)]
+            yield pa.RecordBatch.from_arrays(cols, names=names)
+
+    return subv.select("vec_id", "j", "e1", "e2").mapInArrow(
+        kernel, schema=out_schema
+    )
+
+
+def _pq_trained_anchors_arrow(spark: SparkSession, subv: DataFrame, seed: DataFrame):
+    """Arrow-kernel variant of the Lloyd loop: ONE job per iteration (the
+    means collect; the assignment kernel runs inside it), with the
+    empty-cluster COALESCE applied driver-side to the [M,K] codebook
+    arrays instead of a join — same values, same rounding (the mean is
+    still F.round(F.avg(...)) inside the distributed aggregate).  Returns
+    (codebook rows, anchor arrays)."""
+    rows = [(r[0], r[1], r[2], r[3]) for r in seed.collect()]
+    aid, a1, a2 = _pq_anchor_arrays(rows)
+    for _ in range(_PQ_ITERS):
+        assign = _pq_assign_arrow(subv, aid, a1, a2, include_coords=True)
+        means = (
+            assign.groupBy("j", F.col("code").alias("aid"))
+            .agg(
+                F.round(F.avg("e1"), _PQ_ROUND).alias("m1"),
+                F.round(F.avg("e2"), _PQ_ROUND).alias("m2"),
+            )
+            .collect()
+        )
+        upd = {(r[0], r[1]): (r[2], r[3]) for r in means}
+        for j in range(_PQ_M):
+            for k in range(_PQ_K):
+                m = upd.get((j, int(aid[j, k])))
+                if m is not None:
+                    a1[j, k] = m[0]
+                    a2[j, k] = m[1]
+    rows = [
+        (j, int(aid[j, k]), float(a1[j, k]), float(a2[j, k]))
+        for j in range(_PQ_M)
+        for k in range(_PQ_K)
+    ]
+    return rows, (aid, a1, a2)
+
+
+def _pq_model(spark: SparkSession, vecs: DataFrame):
+    """(subv, anch_df, anch_arrays): the checkpointed subvector table plus
+    the TRAINED codebook as a local DataFrame (for LUT broadcasts) and,
+    on the Arrow path, as [M,K] arrays for the assignment kernel
+    (``anch_arrays is None`` on the kill-switch path)."""
+    schema = "j int, aid long, a1 double, a2 double"
+    if _pq_arrow_on(spark):
+        counted: list = []
+        subv = _pq_subv(vecs, spark, count_into=counted)
+        local_max = int(
+            spark.conf.get(
+                "spark.graft.pq_local_train_max",
+                str(_PQ_LOCAL_TRAIN_MAX_SUBV),
+            )
+        )
+        if counted and counted[0] <= local_max:
+            # One-task fit; collecting the M·K codebook is the same
+            # constant-size model-artifact materialization the
+            # distributed loop already performs per iteration.
+            rows = [tuple(r) for r in _pq_train_local(subv).collect()]
+            arrays = _pq_anchor_arrays(rows)
+        else:
+            seed = _pq_seed(subv)
+            rows, arrays = _pq_trained_anchors_arrow(spark, subv, seed)
+        return subv, spark.createDataFrame(rows, schema=schema), arrays
+    subv = _pq_subv(vecs, spark)
+    return subv, _pq_trained_anchors(spark, subv, _pq_seed(subv)), None
+
+
+def _pq_seed(subv: DataFrame) -> DataFrame:
+    """Seed codebook: the subvectors of the _PQ_K smallest vec_ids, read
+    straight from the materialized subvector table (no second
+    scan/normalize pass; the values are identical by construction)."""
+    seed_ids = subv.select("vec_id").distinct().orderBy("vec_id").limit(_PQ_K)
+    return subv.join(F.broadcast(seed_ids), "vec_id").select(
+        "j",
+        F.col("vec_id").alias("aid"),
+        F.col("e1").alias("a1"),
+        F.col("e2").alias("a2"),
+    )
 
 
 def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
@@ -2871,7 +3143,9 @@ def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
     a model artifact of constant size (M·K rows ≈ 2k), so each update is
     collected and re-broadcast — the one legitimate driver materialization
     (same class as CC's convergence scalars); at 100 TB training would run
-    on a corpus sample with the identical plan."""
+    on a corpus sample with the identical plan.  Since round 11 this is
+    the spark.graft.pq_arrow=false kill-switch path; the default is
+    _pq_trained_anchors_arrow."""
     schema = "j int, aid long, a1 double, a2 double"
     anch = seed
     for _ in range(_PQ_ITERS):
@@ -2919,30 +3193,25 @@ def _pq_trained_anchors(spark: SparkSession, subv: DataFrame, seed: DataFrame):
     return anch
 
 
-def _pq_dists(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+def _pq_dists_from(subv: DataFrame, anch: DataFrame) -> DataFrame:
     """(vec_id, j, aid, d2): squared L2 between each normalized subvector
     and every TRAINED codebook anchor — the Spark mirror of
-    _PQ_DISTS_SQL.  The codebook (M·K rows) broadcasts; the vector side
-    never shuffles.  Differences are squared by multiplication (not
-    power()) so both engines run the identical fp ops."""
-    subv = _pq_subv(vecs, spark)
-    # Seed anchors = the subvectors of the _PQ_K smallest vec_ids, read
-    # straight from the materialized subvector table (no second
-    # scan/normalize pass; the values are identical by construction).
-    seed_ids = subv.select("vec_id").distinct().orderBy("vec_id").limit(_PQ_K)
-    seed = subv.join(F.broadcast(seed_ids), "vec_id").select(
-        "j",
-        F.col("vec_id").alias("aid"),
-        F.col("e1").alias("a1"),
-        F.col("e2").alias("a2"),
-    )
-    anch = _pq_trained_anchors(spark, subv, seed)
+    _PQ_DISTS_SQL's final CTE.  The codebook (M·K rows) broadcasts; the
+    vector side never shuffles.  Differences are squared by
+    multiplication (not power()) so both engines run the identical fp
+    ops."""
     d2 = (F.col("e1") - F.col("a1")) * (F.col("e1") - F.col("a1")) + (
         F.col("e2") - F.col("a2")
     ) * (F.col("e2") - F.col("a2"))
     return subv.join(F.broadcast(anch), "j").select(
         "vec_id", "j", "aid", d2.alias("d2")
     )
+
+
+def _pq_dists(spark: SparkSession, vecs: DataFrame) -> DataFrame:
+    """Full distance table over the whole corpus (kill-switch path)."""
+    subv, anch, _ = _pq_model(spark, vecs)
+    return _pq_dists_from(subv, anch)
 
 
 def _pq_codes(dists: DataFrame) -> DataFrame:
@@ -2984,9 +3253,16 @@ def vec_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: codebook broadcasts (K·M subvectors — KBs even at
     K=256); assignment is a per-row map over the corpus (no shuffle); the
     M-way min is a tiny grouped aggregation keyed by (vec_id, j).  Exactly
-    the plan a 100 TB corpus wants: linear scan, zero data movement."""
+    the plan a 100 TB corpus wants: linear scan, zero data movement.
+    Since round 11 the assignment map is the vectorized Arrow kernel
+    (_pq_assign_arrow) — no |corpus|·M·K row expansion; the kill-switch
+    spark.graft.pq_arrow=false restores the broadcast-join argmin."""
     e = load(spark, sf_dir, "embeddings")
-    codes = _pq_codes(_pq_dists(spark, e))
+    subv, anch_df, arrays = _pq_model(spark, e)
+    if arrays is not None:
+        codes = _pq_assign_arrow(subv, *arrays, include_coords=False)
+    else:
+        codes = _pq_codes(_pq_dists_from(subv, anch_df))
     return codes.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("j", "code"))),
@@ -3039,13 +3315,23 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cell-pruning layer); flat ADC is the recall-1.0 baseline of that
     composition."""
     e = load(spark, sf_dir, "embeddings")
-    dists = _pq_dists(spark, e)
-    codes = _pq_codes(dists.filter(F.col("vec_id") >= 10)).select(
-        "vec_id", "j", "code"
-    )
-    lut = dists.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), "j", "aid", "d2"
-    )
+    subv, anch_df, arrays = _pq_model(spark, e)
+    if arrays is not None:
+        # Corpus side: argmin via the Arrow kernel — no M·K expansion.
+        # Query side (the LUT) still needs the FULL per-anchor distance
+        # table, but only for the 10 query vectors: the Catalyst
+        # expression over the filtered subvector slice is trivial.
+        codes = _pq_assign_arrow(
+            subv.filter(F.col("vec_id") >= 10), *arrays, include_coords=False
+        ).select("vec_id", "j", "code")
+        dists_q = _pq_dists_from(subv.filter(F.col("vec_id") < 10), anch_df)
+    else:
+        dists = _pq_dists_from(subv, anch_df)
+        codes = _pq_codes(dists.filter(F.col("vec_id") >= 10)).select(
+            "vec_id", "j", "code"
+        )
+        dists_q = dists.filter(F.col("vec_id") < 10)
+    lut = dists_q.select(F.col("vec_id").alias("qid"), "j", "aid", "d2")
     adc = (
         codes.join(F.broadcast(lut), (codes["j"] == lut["j"]) & (codes["code"] == lut["aid"]))
         .groupBy(F.col("qid"), F.col("vec_id").alias("vid"))
@@ -3132,11 +3418,23 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "cid")
     )
-    dists = _pq_dists(spark, e)
-    codes = _pq_codes(dists.filter(F.col("vec_id") >= _N_QUERY_VECS)).select(
-        "vec_id", "j", "code"
-    )
-    lut = dists.filter(F.col("vec_id") < _N_QUERY_VECS).select(
+    subv, anch_df, arrays = _pq_model(spark, e)
+    if arrays is not None:
+        codes = _pq_assign_arrow(
+            subv.filter(F.col("vec_id") >= _N_QUERY_VECS),
+            *arrays,
+            include_coords=False,
+        ).select("vec_id", "j", "code")
+        dists_q = _pq_dists_from(
+            subv.filter(F.col("vec_id") < _N_QUERY_VECS), anch_df
+        )
+    else:
+        dists = _pq_dists_from(subv, anch_df)
+        codes = _pq_codes(
+            dists.filter(F.col("vec_id") >= _N_QUERY_VECS)
+        ).select("vec_id", "j", "code")
+        dists_q = dists.filter(F.col("vec_id") < _N_QUERY_VECS)
+    lut = dists_q.select(
         F.col("vec_id").alias("qid"), F.col("j").alias("lj"),
         F.col("aid").alias("laid"), "d2",
     )
@@ -3295,7 +3593,9 @@ def _kmeans_oracle() -> str:
 _KM_ORACLE_CTE = _kmeans_oracle()
 
 
-def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _km_dims(
+    spark: SparkSession, sf_dir: str, count_into: list | None = None
+) -> DataFrame:
     """(vec_id, i, x): every L2-normalized vector in long format — the
     shape that lets centroid updates be plain partial-aggregated GROUP BYs
     and distances be broadcast-join + SUM (never a per-row HOF fold whose
@@ -3320,7 +3620,14 @@ def _km_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-exchanging the corpus at the replicas.
     from ..plans.shaping import checkpoint_pinned
 
-    return checkpoint_pinned(dims)
+    if count_into is None:
+        return checkpoint_pinned(dims)
+    # Row count rides the eager checkpoint as an observe metric — the
+    # one-task-training gate reads it for free (round 11).
+    obs = Observation()
+    out = checkpoint_pinned(dims.observe(obs, F.count(F.lit(1)).alias("m")))
+    count_into.append(obs.get["m"])
+    return out
 
 
 def _km_assign(dims: DataFrame, cent: DataFrame) -> DataFrame:
@@ -3336,6 +3643,205 @@ def _km_assign(dims: DataFrame, cent: DataFrame) -> DataFrame:
         .agg(F.min(F.struct("d2", "cid")).alias("m"))
         .select("vec_id", F.col("m.cid").alias("cid"), F.col("m.d2").alias("d2"))
     )
+
+
+def _km_arrow_on(spark: SparkSession) -> bool:
+    """Round-11 default: k-means assignment runs as a vectorized Arrow
+    kernel (no K-way broadcast-join row expansion); kill-switch
+    spark.graft.km_arrow=false restores the join + double-groupBy form."""
+    return spark.conf.get("spark.graft.km_arrow", "true") != "false"
+
+
+#: Dims-row ceiling for one-task Lloyd training — same rationale and
+#: arithmetic as _PQ_LOCAL_TRAIN_MAX_SUBV (sequential driver-synced jobs
+#: whose scheduling floor dwarfs the math below this size).  Kill-switch:
+#: spark.graft.km_local_train_max=0.
+_KM_LOCAL_TRAIN_MAX_DIMS = 4_000_000
+
+
+def _km_cent_arrays(rows):
+    """Centroid rows (cid, i, c) with i in 1..D → (cids int64[K] sorted,
+    C float64[K, D]) — cid-sorted so argmin's first minimum reproduces
+    the MIN(d2, cid) struct tie rule."""
+    import numpy as np
+
+    per: dict[int, dict[int, float]] = {}
+    for cid, i, c in rows:
+        per.setdefault(cid, {})[i] = c
+    cids = np.array(sorted(per), dtype=np.int64)
+    d = max(max(m) for m in per.values())
+    mat = np.zeros((len(cids), d), dtype=np.float64)
+    for k, cid in enumerate(cids):
+        for i, c in per[cid].items():
+            mat[k, i - 1] = c
+    return cids, mat
+
+
+def _km_assign_arrow(dims: DataFrame, cids, cent) -> DataFrame:
+    """Nearest-centroid assignment as one Arrow pass over the long-format
+    dims table: per partition, rows are regrouped [n_vec, D] and the
+    (vec × K) squared-L2 matrix computed in NumPy with the identical
+    (x−c)·(x−c) IEEE ops, each distance rounded to the oracle's 1e-4
+    grid with the exact HALF_UP replica BEFORE the argmin — the same
+    round-then-argmin contract the join + min(struct) form implements.
+    Replaces the K-way broadcast-join expansion (K·D rows per vector)
+    with in-cache matrix math (guide §4.2).  Emits (vec_id, cid, d2)."""
+    n_dim = cent.shape[1]
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cols: list = [[], [], []]
+        for b in batches:
+            for i in range(3):
+                cols[i].append(b.column(i).to_numpy(zero_copy_only=False))
+        if not cols[0]:
+            return
+        vec = np.concatenate(cols[0])
+        ii = np.concatenate(cols[1])
+        x = np.concatenate(cols[2])
+        order = np.lexsort((ii, vec))
+        vec, x = vec[order], x[order]
+        nv = len(vec) // n_dim
+        mat = x.reshape(nv, n_dim)
+        vids = vec[::n_dim]
+        out_cid = np.empty(nv, dtype=np.int64)
+        out_d2 = np.empty(nv, dtype=np.float64)
+        step = 1 << 16
+        for lo in range(0, nv, step):
+            sl = slice(lo, min(lo + step, nv))
+            diff = mat[sl][:, None, :] - cent[None, :, :]
+            d2 = _round_half_up((diff * diff).sum(axis=2).ravel(), 4)
+            d2 = d2.reshape(-1, len(cids))
+            k = np.argmin(d2, axis=1)
+            out_cid[sl] = cids[k]
+            out_d2[sl] = d2[np.arange(len(k)), k]
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(vids), pa.array(out_cid), pa.array(out_d2)],
+            names=["vec_id", "cid", "d2"],
+        )
+
+    return dims.select("vec_id", "i", "x").mapInArrow(
+        kernel, schema="vec_id long, cid long, d2 double"
+    )
+
+
+def _km_train_local(dims: DataFrame) -> DataFrame:
+    """ONE-task Lloyd training over the checkpointed dims table (same
+    collapse as _pq_train_local: the loop is sequential, so below the
+    gate its per-iteration distributed jobs are pure scheduling floor).
+    Seeds from the _KM_K smallest vec_ids, assigns on the 1e-4-rounded
+    grid, updates centroids with exact-HALF_UP-rounded means; emits the
+    K·D centroid table."""
+    k_c, iters, rnd = _KM_K, _KM_ITERS, _KM_RND
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        cols: list = [[], [], []]
+        for b in batches:
+            for i in range(3):
+                cols[i].append(b.column(i).to_numpy(zero_copy_only=False))
+        if not cols[0]:
+            return
+        vec = np.concatenate(cols[0])
+        ii = np.concatenate(cols[1])
+        x = np.concatenate(cols[2])
+        n_dim = int(ii.max())
+        order = np.lexsort((ii, vec))
+        vec, x = vec[order], x[order]
+        nv = len(vec) // n_dim
+        mat = x.reshape(nv, n_dim)
+        vids = vec[::n_dim]
+        k_eff = min(k_c, nv)
+        cids = vids[:k_eff].astype(np.int64)
+        cent = mat[:k_eff].copy()
+        step = 1 << 16
+        for _ in range(iters):
+            asg = np.empty(nv, dtype=np.int64)
+            for lo in range(0, nv, step):
+                sl = slice(lo, min(lo + step, nv))
+                diff = mat[sl][:, None, :] - cent[None, :, :]
+                d2 = _round_half_up((diff * diff).sum(axis=2).ravel(), 4)
+                asg[sl] = np.argmin(d2.reshape(-1, k_eff), axis=1)
+            for k in range(k_eff):
+                members = mat[asg == k]
+                if len(members):
+                    cent[k] = _round_half_up(
+                        members.sum(axis=0) / len(members), rnd
+                    )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(np.repeat(cids, n_dim)),
+                pa.array(
+                    np.tile(np.arange(1, n_dim + 1, dtype=np.int32), k_eff)
+                ),
+                pa.array(cent.ravel(), type=pa.float64()),
+            ],
+            names=["cid", "i", "c"],
+        )
+
+    return (
+        dims.select("vec_id", "i", "x")
+        .coalesce(1)
+        .mapInArrow(kernel, schema="cid long, i int, c double")
+    )
+
+
+def _km_model(spark: SparkSession, sf_dir: str):
+    """(dims, cent_df, cent_arrays): the checkpointed dims table plus the
+    TRAINED centroids as a local DataFrame and, on the Arrow path, as
+    (cids, [K,D]) arrays for the assignment kernel (None on the
+    kill-switch path)."""
+    if not _km_arrow_on(spark):
+        dims = _km_dims(spark, sf_dir)
+        return dims, _km_centroids(spark, dims), None
+    counted: list = []
+    dims = _km_dims(spark, sf_dir, count_into=counted)
+    local_max = int(
+        spark.conf.get(
+            "spark.graft.km_local_train_max", str(_KM_LOCAL_TRAIN_MAX_DIMS)
+        )
+    )
+    if counted and counted[0] <= local_max:
+        rows = [tuple(r) for r in _km_train_local(dims).collect()]
+    else:
+        # Distributed training with the Arrow assignment kernel: one
+        # means-collect job per iteration, as before, minus the K-way
+        # row expansion inside each.
+        seed_ids = (
+            dims.select("vec_id").distinct().orderBy("vec_id").limit(_KM_K)
+        )
+        seed = dims.join(F.broadcast(seed_ids), "vec_id").select(
+            F.col("vec_id").alias("cid"), "i", F.col("x").alias("c")
+        )
+        rows = [tuple(r) for r in seed.collect()]
+        cids, cent = _km_cent_arrays(rows)
+        for _ in range(_KM_ITERS):
+            asg = _km_assign_arrow(dims, cids, cent).select("vec_id", "cid")
+            means = (
+                asg.join(dims, "vec_id")
+                .groupBy("cid", "i")
+                .agg(F.round(F.avg("x"), _KM_RND).alias("mc"))
+                .collect()
+            )
+            upd = {(r[0], r[1]): r[2] for r in means}
+            import numpy as np  # noqa: PLC0415 — executor-free driver use
+
+            for k, cid in enumerate(cids):
+                for i in range(cent.shape[1]):
+                    m = upd.get((int(cid), i + 1))
+                    if m is not None:
+                        cent[k, i] = m
+        rows = [
+            (int(cids[k]), i + 1, float(cent[k, i]))
+            for k in range(len(cids))
+            for i in range(cent.shape[1])
+        ]
+    cent_df = spark.createDataFrame(rows, schema="cid long, i int, c double")
+    return dims, cent_df, _km_cent_arrays(rows)
 
 
 def _km_centroids(spark: SparkSession, dims: DataFrame) -> DataFrame:
@@ -3389,12 +3895,18 @@ def vec_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the centroid table (K·D rows) broadcasts; assignment is one
     map-side broadcast join + partial-aggregated SUM per vector — the
     corpus never shuffles on anything wider than vec_id.  Driver traffic
-    is K·D scalars per iteration (model artifact, not data)."""
-    dims = _km_dims(spark, sf_dir)
-    cent = _km_centroids(spark, dims)
-    return _km_assign(dims, cent).select(
-        "vec_id", F.col("cid").alias("cluster_id"), "d2"
+    is K·D scalars per iteration (model artifact, not data).  Since
+    round 11 assignment runs as the vectorized Arrow kernel
+    (_km_assign_arrow — no K-way row expansion) and small corpora train
+    in one task (_km_train_local); spark.graft.km_arrow=false restores
+    the join formulation."""
+    dims, cent, arrays = _km_model(spark, sf_dir)
+    out = (
+        _km_assign_arrow(dims, *arrays)
+        if arrays is not None
+        else _km_assign(dims, cent)
     )
+    return out.select("vec_id", F.col("cid").alias("cluster_id"), "d2")
 
 
 @query(

@@ -263,14 +263,19 @@ def test_exists_in_disjunction_plans_existence_join(spark, sf_dir):
 
 
 def test_pq_codebook_broadcasts_and_scan_prunes(spark, sf_dir):
-    """vec_pq_codes: the trained codebook must reach the corpus via
-    broadcast (never an exchange of the vector side before the partial
-    aggregations), and the embeddings scan must read only the two used
-    columns.  Since r4 the subvector table is checkpointed (its scan runs
-    once at build time), so column pruning is asserted on the
-    pre-checkpoint subvector plan where the file scan is still visible."""
+    """vec_pq_codes: the codebook must reach the corpus without ever
+    exchanging the vector side before the per-vector aggregation — since
+    round 11 via the task-closure Arrow kernel (MapInArrow, codebook in
+    the closure, no join at all); under spark.graft.pq_arrow=false via
+    broadcast.  The embeddings scan must read only the two used columns
+    (asserted on the pre-checkpoint subvector plan, where the file scan
+    is still visible)."""
     plan = physical_plan_str(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
-    assert "BroadcastExchange" in plan
+    assert "MapInArrow" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    with _with_conf(spark, {"spark.graft.pq_arrow": "false"}):
+        plan = physical_plan_str(REGISTRY["vec_pq_codes"].fn(spark, sf_dir))
+        assert "BroadcastExchange" in plan
     from datafusion_parallelism_spark.queries.llm import _pq_subv
     from datafusion_parallelism_spark.session import load
 
@@ -462,14 +467,24 @@ def test_winnow_capped_fingerprints_df_window_rides_join_partitioning(spark):
 
 
 def test_kmeans_final_plan_broadcast_assign_two_exchanges(spark, sf_dir):
-    """vec_kmeans_clusters' final assignment: broadcast the K-row centroid
-    table onto the (checkpointed) vector table — the corpus side must NOT
-    shuffle for the join; the only exchanges are the final count
-    aggregation's partial/final pair."""
+    """vec_kmeans_clusters' final assignment must never shuffle the
+    corpus side: since round 11 the centroids ride the Arrow kernel's
+    task closure (MapInArrow over the checkpointed dims — zero joins,
+    zero exchanges); under spark.graft.km_arrow=false they broadcast
+    onto the vector table, with only the count aggregation's exchanges."""
     plan = physical_plan_str(REGISTRY["vec_kmeans_clusters"].fn(spark, sf_dir))
-    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan
-    assert plan.count("Exchange") <= 3, plan
-    assert "SortMergeJoin" not in plan, plan
+    assert "MapInArrow" in plan, plan
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    with _with_conf(spark, {"spark.graft.km_arrow": "false"}):
+        plan = physical_plan_str(
+            REGISTRY["vec_kmeans_clusters"].fn(spark, sf_dir)
+        )
+        assert (
+            "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        ), plan
+        assert plan.count("Exchange") <= 3, plan
+        assert "SortMergeJoin" not in plan, plan
 
 
 def _with_conf(spark, pairs):
