@@ -596,27 +596,36 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.struct(F.col("dv.d").alias("d"), F.col("v").alias("n")).alias("kv"),
         )
     )
-    # kdst rides along: wedge out-edges must be ordered by the SAME
-    # (degree, id) total order the orientation uses — ordering them by raw
-    # node id lets the closing edge point the "wrong way" whenever degree
-    # order disagrees with id order (caught by the hypothesis test on
-    # edges [(0,1),(0,2),(0,3),(1,2)]).
+    # Round 11: the oriented table carries ONLY (src, dst) — r10's kdst
+    # struct (the dst endpoint's (degree, id) key) rode along solely so
+    # the closing-edge probe could be DIRECTIONAL in orientation order.
+    # Ordering the wedge pair by plain dst id still generates each
+    # out-edge pair exactly once (any antisymmetric order on distinct
+    # ids does), and the closing edge is then checked UNDIRECTED: probe
+    # (tb, tc) with tb < tc by id against the id-normalized edge set
+    # (least/greatest over the cached o — the original u < v edge list
+    # by construction).  Orientation by (degree, id) is still what
+    # bounds wedge fan-out; it just no longer needs to be carried.
+    # Effect: the wedge exchange and the o cache drop the 16-byte-struct
+    # column (~2.5× narrower wedge shuffle rows).
     o = keyed.select(
         F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kdst"),
     ).localCheckpoint(eager=False)
     shj = (
         edges.sparkSession.conf.get("spark.graft.tri_shj", "true") != "false"
     )
-    e1, e2, e3 = o.alias("e1"), o.alias("e2"), o.alias("e3")
+    e1, e2 = o.alias("e1"), o.alias("e2")
+    closing = o.select(
+        F.least("src", "dst").alias("cu"), F.greatest("src", "dst").alias("cv")
+    )
     if shj:
-        e2, e3 = e2.hint("shuffle_hash"), e3.hint("shuffle_hash")
+        e2, closing = e2.hint("shuffle_hash"), closing.hint("shuffle_hash")
     tri = (
         e1.join(
             e2,
             (F.col("e1.src") == F.col("e2.src"))
-            & (F.col("e1.kdst") < F.col("e2.kdst")),
+            & (F.col("e1.dst") < F.col("e2.dst")),
         )
         .select(
             F.col("e1.src").alias("ta"),
@@ -624,8 +633,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             F.col("e2.dst").alias("tc"),
         )
         .join(
-            e3,
-            (F.col("e3.src") == F.col("tb")) & (F.col("e3.dst") == F.col("tc")),
+            closing,
+            (F.col("cu") == F.col("tb")) & (F.col("cv") == F.col("tc")),
             "left_semi",
         )
     )

@@ -711,28 +711,86 @@ def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H q21 with commitdate/receiptdate lateness adapted to
-    shipdate > orderdate+60d.  EXISTS + correlated NOT EXISTS → LeftSemi +
-    LeftAnti in one plan (the reference's decorrelation showcase,
-    lib.rs:389-437/515-574)."""
+    shipdate > orderdate+60d.
+
+    Round 11: the EXISTS + NOT EXISTS self-join form shuffled three full
+    lineitem projections on l_orderkey and sorted all three in one SMJ
+    reduce stage (x64 ledger: 999 MB shuffle read, 391 s CPU, 12.6 GB
+    peak in that stage alone).  Both subqueries are per-ORDER facts, so
+    the default form computes them as per-order supplier aggregates over
+    ONE lineitem⋈orders pass instead (guide §2.3/§2.4 — aggregate,
+    don't re-join):
+
+      * EXISTS l2 (another supplier on the order)      ⟺ nsupp(o) ≥ 2
+      * NOT EXISTS l3 (no OTHER supplier late on o),
+        given l1 itself is late                        ⟺ nlate(o) = 1
+      * COUNT(*) over qualifying l1 rows               ⟺ Σ n_late_items
+        of the single late supplier of each qualifying order
+
+    where nsupp = COUNT(DISTINCT suppkey), nlate = COUNT(DISTINCT
+    suppkey among late lineitems), both via one (ok, sk) pre-aggregate
+    (no Expand: two plain counts over per-supplier flags).  Every
+    aggregate and the agg⋈per_supp join reuse the single l_orderkey
+    exchange.  Results are identical (oracle-verified; the EXISTS form
+    stays under spark.graft.q21_agg=false — the decorrelation surface
+    itself is still exercised by join_exists/join_left_semi and the
+    other EXISTS queries)."""
+    if spark.conf.get("spark.graft.q21_agg", "true") == "false":
+        return _sql(
+            spark,
+            sf_dir,
+            """
+            SELECT s_name, COUNT(*) AS numwait
+            FROM supplier
+            JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+            JOIN orders ON o_orderkey = l1.l_orderkey
+            WHERE o_orderstatus = 'F'
+              AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              AND EXISTS (
+                SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+              )
+              AND NOT EXISTS (
+                SELECT 1 FROM lineitem l3
+                WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                  AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+              )
+            GROUP BY s_name
+            ORDER BY numwait DESC, s_name
+            LIMIT 20
+            """,
+        )
     return _sql(
         spark,
         sf_dir,
         """
-        SELECT s_name, COUNT(*) AS numwait
-        FROM supplier
-        JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-        JOIN orders ON o_orderkey = l1.l_orderkey
-        WHERE o_orderstatus = 'F'
-          AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          AND EXISTS (
-            SELECT 1 FROM lineitem l2
-            WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
-          )
-          AND NOT EXISTS (
-            SELECT 1 FROM lineitem l3
-            WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
-              AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
-          )
+        WITH lo AS (
+          SELECT l_orderkey AS ok, l_suppkey AS sk,
+                 l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+          FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+          WHERE o_orderstatus = 'F'
+        ),
+        per_supp AS (
+          SELECT ok, sk,
+                 COUNT_IF(late) AS n_late_items,
+                 MAX(late) AS any_late
+          FROM lo GROUP BY ok, sk
+        ),
+        w AS (
+          -- Per-order facts as WINDOW aggregates, not a groupBy +
+          -- self-join: Spark inlines a twice-referenced CTE, so the
+          -- join form executed the whole lineitem⋈orders⋈agg subtree
+          -- twice (two 383 MB exchanges at x64, no ReuseExchange).
+          -- The window rides per_supp's existing ok-partitioning: one
+          -- lineitem exchange in the entire plan.
+          SELECT ok, sk, n_late_items, any_late,
+                 COUNT(*) OVER (PARTITION BY ok) AS nsupp,
+                 COUNT_IF(any_late) OVER (PARTITION BY ok) AS nlate
+          FROM per_supp
+        )
+        SELECT s_name, SUM(n_late_items) AS numwait
+        FROM w JOIN supplier ON s_suppkey = sk
+        WHERE any_late AND nlate = 1 AND nsupp >= 2
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 20
