@@ -326,6 +326,51 @@ def main() -> None:
         line = json.dumps(out)
     print(line)
 
+    # Optional scale leg (round 11, VERDICT r10 item 6 — ADDITIONS ONLY):
+    # SPARK_GRAFT_BENCH_REPLICA=x64 re-runs the same headline set against
+    # the existing replica layout (/tmp/spark_graft_scale/x{F}, generated
+    # by scripts/scale_sweep.py) in a FRESH subprocess (cold JVM, its own
+    # size-gated session conf) and prints a SECOND, differently-labeled
+    # JSON line.  The primary line above is untouched: same queries, same
+    # timed region, printed first; the driver never sets this env var, so
+    # its capture still sees exactly one line by default.
+    replica = os.environ.get("SPARK_GRAFT_BENCH_REPLICA", "")
+    if replica:
+        import subprocess
+
+        factor = replica.lstrip("x")
+        rep_dir = f"/tmp/spark_graft_scale/x{factor}"
+        here = os.path.dirname(os.path.abspath(__file__))
+        if not os.path.exists(os.path.join(rep_dir, "lineitem.parquet")):
+            subprocess.run(
+                [sys.executable, os.path.join(here, "scripts/scale_sweep.py"),
+                 "--generate-only", factor],
+                check=True,
+            )
+        env = dict(os.environ)
+        env.pop("SPARK_GRAFT_BENCH_REPLICA", None)  # no recursion
+        env["SPARK_GRAFT_SF_DIR"] = rep_dir
+        # One measured pass per query at GB factors (scale_sweep's own
+        # convention); overridable with SPARK_GRAFT_REPLICA_PASSES.
+        env["SPARK_GRAFT_PASSES"] = os.environ.get(
+            "SPARK_GRAFT_REPLICA_PASSES", "1"
+        )
+        env.setdefault("SPARK_GRAFT_NO_DUCKDB", "1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=False,
+        )
+        for ln in reversed(proc.stdout.splitlines()):
+            try:
+                rep_out = json.loads(ln)
+                break
+            except ValueError:
+                continue
+        else:
+            rep_out = {"error": f"replica leg produced no JSON (rc={proc.returncode})"}
+        rep_out["metric"] = f"headline_corpus_wall_x{factor}"
+        print(json.dumps(rep_out))
+
 
 if __name__ == "__main__":
     main()
