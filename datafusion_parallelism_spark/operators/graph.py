@@ -194,6 +194,77 @@ def _pagerank_arrow(
     return one.mapInArrow(kernel, schema=f"node {node_t}, rank double")
 
 
+def _cc_arrow(und: DataFrame, max_iter: int) -> DataFrame:
+    """Single-task connected components over a small symmetrized distinct
+    edge table: the EXACT distributed schedule (one-hop neighbor minimum +
+    two pointer jumps per iteration, stop on unchanged labels, raise past
+    ``max_iter``) run in NumPy inside one ``mapInArrow`` task.  Pure
+    integer math — iterates, iteration counts and the non-convergence
+    contract are identical to the distributed loop by construction.
+    Emits (node, cluster, iters); iters is constant (observability for
+    the stats dict)."""
+    node_t = und.schema["src"].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        srcs, dsts = [], []
+        for b in batches:
+            srcs.append(b.column(0).to_numpy(zero_copy_only=False))
+            dsts.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not srcs:
+            return
+        src = np.concatenate(srcs)
+        dst = np.concatenate(dsts)
+        nodes = np.unique(np.concatenate([src, dst]))
+        n = len(nodes)
+        if n == 0:
+            return
+        si = np.searchsorted(nodes, src)
+        di = np.searchsorted(nodes, dst)
+        # Labels as indices into the sorted node array: index order ==
+        # id order, so index minima are id minima.
+        label = np.arange(n, dtype=np.int64)
+        converged = False
+        iterations = 0
+        for _ in range(max_iter + 1):
+            new = label.copy()
+            np.minimum.at(new, si, label[di])  # one-hop neighbor min
+            new = new[new]  # pointer jump 1
+            new = new[new]  # pointer jump 2
+            if np.array_equal(new, label):
+                converged = True
+                break
+            label = new
+            iterations += 1
+        if not converged:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds max_iter); raise "
+                "max_iter"
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(nodes),
+                pa.array(nodes[label]),
+                pa.array(np.full(n, iterations, dtype=np.int32)),
+            ],
+            names=["node", "cluster", "iters"],
+        )
+
+    return und.coalesce(1).mapInArrow(
+        kernel, schema=f"node {node_t}, cluster {node_t}, iters int"
+    )
+
+
+#: Edge-count ceiling for the single-task connected-components kernel —
+#: same arithmetic and rationale as _PAGERANK_KERNEL_MAX_EDGES (the CC
+#: loop additionally runs a VARIABLE number of driver-synced iterations,
+#: up to max_iter + 1 jobs).  Kill-switch: spark.graft.cc_local_max_edges=0.
+_CC_KERNEL_MAX_EDGES = 4_000_000
+
+
 def connected_components(
     edges: DataFrame,
     max_iter: int = 20,
@@ -242,6 +313,38 @@ def connected_components(
         # (e.g. MinHash-LSH candidate generation) re-executes per iteration.
         und = und.localCheckpoint(eager=True)
     m = und.count()
+    # Small-graph fast path (round 11, mirroring pagerank's): below the
+    # kernel ceiling the whole label-propagation loop (up to max_iter + 1
+    # driver-synced jobs of pure scheduling floor on a near-dup candidate
+    # graph) runs inside ONE Arrow task with the identical integer
+    # schedule, including the non-convergence raise — surfaced here
+    # driver-side via an eager materialization so the contract (raise
+    # from THIS call, not a later action) is preserved.  Kill-switch:
+    # spark.graft.cc_local_max_edges=0.
+    cc_kernel_max = int(
+        spark.conf.get(
+            "spark.graft.cc_local_max_edges", str(_CC_KERNEL_MAX_EDGES)
+        )
+    )
+    if checkpoint and m <= cc_kernel_max:
+        labeled = _cc_arrow(und, max_iter)
+        try:
+            labeled = labeled.localCheckpoint(eager=True)
+        except Exception as exc:  # noqa: BLE001 — re-raise unless ours
+            # The kernel's raise surfaces wrapped (PythonException /
+            # Py4JJavaError depending on path); restore the operator's
+            # driver-side RuntimeError contract.
+            if "did not converge" not in str(exc):
+                raise
+            raise RuntimeError(
+                f"connected_components did not converge in {max_iter} "
+                "iterations (component diameter exceeds max_iter); "
+                "raise max_iter"
+            ) from None
+        if stats is not None:
+            row = labeled.select("iters").first()
+            stats["iterations"] = 0 if row is None else int(row[0])
+        return labeled.select("node", "cluster")
     parts = _state_parts(m, conf_parts)
     if checkpoint:
         # Pin the (large) edge side on dst at state width once; the per-
@@ -437,28 +540,48 @@ def pagerank(
     # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
     # cross-engine drift reduces to SUM order alone.
     #
-    # Setup shape (round 5): edge derivation + normalization is INPUT-
-    # sized work, so it runs at session width and materializes in ONE job
-    # — the explicit src-repartition subtree feeds both consumers (outdeg
-    # agg, join), so ReuseExchange executes the upstream derivation once
-    # and the single |E|-row exchange is strictly less shuffle volume
-    # than the planner's separate agg (|V| combined) + join (|E|)
-    # exchanges.  The edge count rides the job as an observe metric
-    # (round 4 spent a separate edge checkpoint + count on this).
-    e2 = e.repartition(F.col("src"))
-    outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    e_norm = e2.join(outdeg, "src").select(
-        "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+    # Loop-table layout (round 11): the loop-invariant edge table is
+    # GROUPED PER SOURCE — (src, dsts: array<dst>, w = 1/|dsts|) — instead
+    # of one row per edge.  The per-iteration SortMergeJoin then merges
+    # |V| rows instead of |E| (~outdeg× fewer comparisons), the cached
+    # table the loop re-reads every iteration shrinks from |E|·~94 B rows
+    # to |E|·8 B of array payload + |V| row overheads (the r10 x256
+    # ledger's 19 GB/iteration re-read was the evidenced floor of the
+    # row-per-edge form), and setup drops the outdeg self-join (w is
+    # 1/size(dsts), the identical IEEE division).  The explode back to
+    # (dst, c) rows is a narrow generator feeding the same partial
+    # aggregate, so shuffle volume and the contribution SUM are
+    # unchanged; per-dst sum ORDER changes with row order, which the
+    # oracle's 1e-7 rounding has always absorbed (same tolerance class as
+    # DuckDB's own order).  Kill-switch: spark.graft.pagerank_grouped=
+    # false restores the row-per-edge loop.
+    grouped = (
+        spark.conf.get("spark.graft.pagerank_grouped", "true") != "false"
     )
+    e2 = e.repartition(F.col("src"))
+    if grouped:
+        e_loop = (
+            e2.groupBy("src")
+            .agg(F.collect_list("dst").alias("dsts"))
+            .select(
+                "src", "dsts", (F.lit(1.0) / F.size("dsts")).alias("w")
+            )
+        )
+        m_expr = F.coalesce(F.sum(F.size("dsts")), F.lit(0)).alias("m")
+    else:
+        outdeg = e2.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+        e_loop = e2.join(outdeg, "src").select(
+            "src", "dst", (F.lit(1.0) / F.col("outdeg")).alias("w")
+        )
+        m_expr = F.count(F.lit(1)).alias("m")
     if checkpoint:
         obs_m = Observation()
-        e_norm = _ckpt_pinned(
-            e_norm.observe(obs_m, F.count(F.lit(1)).alias("m"))
-            .transform(_presorted, "src")
+        e_loop = _ckpt_pinned(
+            e_loop.observe(obs_m, m_expr).transform(_presorted, "src")
         )
         m = obs_m.get["m"]
     else:
-        m = e_norm.count()
+        m = e_loop.agg(m_expr).collect()[0][0]
     # Small-graph fast path (round 11): once the edge count is measured
     # (it rides the checkpoint job either way), a graph under the kernel
     # ceiling runs every iteration inside one Arrow task — no node
@@ -467,7 +590,12 @@ def pagerank(
     # path; spark.graft.pagerank_local_max_edges=0 disables the kernel
     # for paired A/Bs.
     if m <= kernel_max:
-        return _pagerank_arrow(e_norm, damping, iterations, normalized=True)
+        rows = (
+            e_loop.select("src", F.explode("dsts").alias("dst"), "w")
+            if grouped
+            else e_loop
+        )
+        return _pagerank_arrow(rows, damping, iterations, normalized=True)
     # Iteration-state width: see module docstring (_sized) — one partition
     # per ~50k state rows, floor 4, ceiling the session conf (no-op at real
     # scale), applied per shuffle point instead of the r4 session-conf flip.
@@ -477,15 +605,18 @@ def pagerank(
         # width so every loop stage runs at `parts`; at real scale the
         # join output is already hashpartitioning(src, conf-width) from
         # the materialized exchange — nothing to re-pin.
-        e_norm = _ckpt_pinned(
-            e_norm.repartition(parts, "src").transform(_presorted, "src")
+        e_loop = _ckpt_pinned(
+            e_loop.repartition(parts, "src").transform(_presorted, "src")
         )
 
+    dst_nodes = (
+        e_loop.select(F.explode("dsts").alias("node"))
+        if grouped
+        else e_loop.select(F.col("dst").alias("node"))
+    )
     nodes = (
         _sized(
-            e_norm.select(F.col("src").alias("node")).union(
-                e_norm.select(F.col("dst").alias("node"))
-            ),
+            e_loop.select(F.col("src").alias("node")).union(dst_nodes),
             parts,
             conf_parts,
             "node",
@@ -513,15 +644,18 @@ def pagerank(
     # deep without checkpointing ranks at all.
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iterations):
-        contrib = (
-            _sized(
-                e_norm.join(ranks, e_norm["src"] == ranks["node"]).select(
-                    "dst", (F.col("rank") * F.col("w")).alias("c")
-                ),
-                parts,
-                conf_parts,
-                "dst",
+        joined = e_loop.join(ranks, e_loop["src"] == ranks["node"])
+        if grouped:
+            rows = joined.select(
+                F.explode("dsts").alias("dst"),
+                (F.col("rank") * F.col("w")).alias("c"),
             )
+        else:
+            rows = joined.select(
+                "dst", (F.col("rank") * F.col("w")).alias("c")
+            )
+        contrib = (
+            _sized(rows, parts, conf_parts, "dst")
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
         )

@@ -164,3 +164,30 @@ def test_pagerank_kernel_plan_is_single_arrow_pass(spark):
     plan = physical_plan_str(pagerank(edges, iterations=4))
     assert "MapInArrow" in plan, plan
     assert "Join" not in plan, plan
+
+
+def test_cc_kernel_matches_distributed_loop(spark):
+    """The r11 single-task CC kernel must emit the same labels AND the
+    same iteration count as the distributed loop (it runs the identical
+    integer schedule)."""
+    edges = [(1, 2), (2, 3), (10, 11), (12, 12), (5, 6), (6, 7), (7, 8)]
+    df = spark.createDataFrame(edges, schema="u long, v long")
+    k_stats, d_stats = {}, {}
+    kernel = {
+        r.node: r.cluster
+        for r in connected_components(df, stats=k_stats).collect()
+    }
+    prev = spark.conf.get("spark.graft.cc_local_max_edges", None)
+    spark.conf.set("spark.graft.cc_local_max_edges", "0")
+    try:
+        dist = {
+            r.node: r.cluster
+            for r in connected_components(df, stats=d_stats).collect()
+        }
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.graft.cc_local_max_edges")
+        else:
+            spark.conf.set("spark.graft.cc_local_max_edges", prev)
+    assert kernel == dist
+    assert k_stats["iterations"] == d_stats["iterations"]
