@@ -128,6 +128,7 @@ def _pagerank_arrow(
     iterations: int,
     normalized: bool,
     single_partition: bool = False,
+    dedup: bool = False,
 ) -> DataFrame:
     """Single-task PageRank over a small edge table.
 
@@ -169,6 +170,15 @@ def _pagerank_arrow(
             return
         si = idx[: len(src)]
         di = idx[len(src):]
+        if dedup:
+            # In-kernel edge dedup (duplicates collapse, unweighted
+            # graph): unique on the packed (si, di) index pair — saves
+            # the caller a distributed distinct exchange when the kernel
+            # consumes every edge anyway.  si, di < n and n·n fits int64
+            # under the kernel's edge ceiling.
+            packed = np.unique(si.astype(np.int64) * n + di)
+            si = packed // n
+            di = packed % n
         if normalized:
             w = np.concatenate(parts[2])
         else:
@@ -515,8 +525,6 @@ def pagerank(
     spark = edges.sparkSession
     conf_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     e = edges.select(F.col(u).alias("src"), F.col(v).alias("dst"))
-    if not assume_distinct:
-        e = e.distinct()
     kernel_max = int(
         spark.conf.get(
             "spark.graft.pagerank_local_max_edges",
@@ -533,9 +541,19 @@ def pagerank(
     # IEEE division).  See _PAGERANK_KERNEL_MAX_EDGES for the sizing
     # argument; spark.graft.pagerank_local_max_edges=0 disables.
     if approx_edge_bound is not None and approx_edge_bound <= kernel_max:
+        # Duplicate edges (if any) collapse INSIDE the kernel — a NumPy
+        # unique on index pairs instead of a distributed distinct
+        # exchange the kernel would make redundant.
         return _pagerank_arrow(
-            e, damping, iterations, normalized=False, single_partition=True
+            e,
+            damping,
+            iterations,
+            normalized=False,
+            single_partition=True,
+            dedup=not assume_distinct,
         )
+    if not assume_distinct:
+        e = e.distinct()
     # Pre-normalized edge weights: contribution of u to v is rank(u) * w
     # with w = 1/outdeg(u).  1/k is the same IEEE double in any engine, so
     # cross-engine drift reduces to SUM order alone.
@@ -686,6 +704,85 @@ def pagerank(
     return ranks
 
 
+#: Edge-count ceiling for the single-task triangle kernel.  Wedge volume
+#: is Σ outdeg² ≤ m^1.5 under the compact-forward orientation; the kernel
+#: streams wedges in O(m) memory per gap step, so the ceiling only bounds
+#: TIME (~m^1.5 vectorized ops).  Kill-switch: spark.graft.tri_local_max_edges=0.
+_TRI_KERNEL_MAX_EDGES = 200_000
+
+
+def _tri_arrow(edges: DataFrame) -> DataFrame:
+    """Single-task per-node triangle counts over a small (u < v, distinct)
+    edge table: the same compact-forward algorithm as the distributed plan
+    — orient by (degree, id), enumerate each apex's out-edge pairs once,
+    check the closing edge undirected — in vectorized NumPy.  Pure integer
+    math, so counts are exactly the distributed result.  Wedges are
+    generated per GAP (pairs of positions g apart inside each apex's
+    dst-sorted out-edge block), keeping memory O(m) regardless of wedge
+    volume."""
+    node_t = edges.schema["u"].dataType.simpleString()
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        us, vs = [], []
+        for b in batches:
+            us.append(b.column(0).to_numpy(zero_copy_only=False))
+            vs.append(b.column(1).to_numpy(zero_copy_only=False))
+        if not us:
+            return
+        u = np.concatenate(us)
+        v = np.concatenate(vs)
+        m = len(u)
+        if m == 0:
+            return
+        nodes = np.unique(np.concatenate([u, v]))
+        n = int(len(nodes))
+        ui = np.searchsorted(nodes, u)
+        vi = np.searchsorted(nodes, v)
+        deg = np.bincount(np.concatenate([ui, vi]), minlength=n)
+        # (degree, id) lexicographic key packed into one int64.
+        ku = deg[ui].astype(np.int64) * n + ui
+        kv = deg[vi].astype(np.int64) * n + vi
+        fwd = ku < kv
+        src = np.where(fwd, ui, vi)
+        dst = np.where(fwd, vi, ui)
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        c = np.bincount(src, minlength=n)  # outdeg
+        starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(c[:-1], out=starts[1:])
+        within = np.arange(m) - starts[src]
+        cbl = c[src]
+        eset = np.sort(ui.astype(np.int64) * n + vi)  # id-normalized edges
+        tri = np.zeros(n, dtype=np.int64)
+        cmax = int(c.max()) if n else 0
+        for g in range(1, cmax):
+            sel = within + g < cbl
+            p = np.nonzero(sel)[0]
+            if len(p) == 0:
+                break
+            ta, tb, tc = src[p], dst[p], dst[p + g]
+            packed = tb.astype(np.int64) * n + tc
+            pos = np.searchsorted(eset, packed)
+            ok = pos < len(eset)
+            ok[ok] = eset[pos[ok]] == packed[ok]
+            if ok.any():
+                tri += np.bincount(ta[ok], minlength=n)
+                tri += np.bincount(tb[ok], minlength=n)
+                tri += np.bincount(tc[ok], minlength=n)
+        nz = tri > 0
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nodes[nz]), pa.array(tri[nz])],
+            names=["node", "triangles"],
+        )
+
+    return edges.coalesce(1).mapInArrow(
+        kernel, schema=f"node {node_t}, triangles long"
+    )
+
+
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """Per-node triangle counts for an UNDIRECTED simple graph given as a
     (u, v) edge DataFrame with u < v, no duplicates.
@@ -712,7 +809,31 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     memory spill).  An SHJ build partition holds |E|/width rows, which
     AQE's advisory sizing keeps bounded at any corpus size; the wedge
     side is never sorted anywhere in the plan.  Kill-switch for paired
-    A/Bs: spark.graft.tri_shj=false (SMJ planner default)."""
+    A/Bs: spark.graft.tri_shj=false (SMJ planner default).
+
+    Edge materialization + small-graph kernel (round 11): the edge list
+    has THREE consumers below (two degree projections + the orientation
+    join), and Spark's ReuseExchange only shares the exchange WRITE — the
+    x256 counters showed the pair-count reduce above it executing three
+    times (its 1.49 GB exchange read 3×).  An eager observe-counted
+    checkpoint runs the (expensive) edge derivation exactly once, and the
+    measured count gates the single-task NumPy kernel (_tri_arrow) for
+    small graphs — same algorithm, exact integer counts, one task instead
+    of ~6 stages.  Kill-switch: spark.graft.tri_local_max_edges=0
+    restores the round-10 shape byte-for-byte."""
+    spark = edges.sparkSession
+    tri_max = int(
+        spark.conf.get(
+            "spark.graft.tri_local_max_edges", str(_TRI_KERNEL_MAX_EDGES)
+        )
+    )
+    if tri_max > 0:
+        obs = Observation()
+        edges = edges.observe(
+            obs, F.count(F.lit(1)).alias("m")
+        ).localCheckpoint(eager=True)
+        if obs.get["m"] <= tri_max:
+            return _tri_arrow(edges)
     deg = (
         edges.select(F.col("u").alias("n"))
         .union(edges.select("v"))

@@ -104,16 +104,34 @@ FROM r{_ITERS}
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer↔supplier trade graph (10 iterations,
     d=0.85, dangling mass redistributed).  See module docstring."""
+    from ..operators.graph import _PAGERANK_KERNEL_MAX_EDGES
+    from ..session import parquet_num_rows
+
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    pairs = (
-        orders.join(lineitem, orders["o_orderkey"] == lineitem["l_orderkey"])
-        .select(
-            (F.col("o_custkey") * 2).alias("u"),
-            (F.col("l_suppkey") * 2 + 1).alias("v"),
+    # Metadata-only edge UPPER bound: every lineitem row yields at most
+    # one (cust, supp) pair, so |edges| <= 2·|lineitem| after
+    # symmetrization (parquet footer read, no Spark job).
+    li_rows = parquet_num_rows(os.path.join(sf_dir, "lineitem.parquet"))
+    kernel_max = int(
+        spark.conf.get(
+            "spark.graft.pagerank_local_max_edges",
+            str(_PAGERANK_KERNEL_MAX_EDGES),
         )
-        .distinct()
     )
+    small = li_rows is not None and 2 * li_rows <= kernel_max
+    pairs = orders.join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    ).select(
+        (F.col("o_custkey") * 2).alias("u"),
+        (F.col("l_suppkey") * 2 + 1).alias("v"),
+    )
+    if not small:
+        # Distributed path: dedup BEFORE symmetrizing (half the rows
+        # through the distinct exchange).  On the small path the kernel
+        # dedups in NumPy, so the distributed distinct would be a wasted
+        # exchange (~0.45 s of the 0.9 s sf0.1 derivation).
+        pairs = pairs.distinct()
     # Symmetrize via one generator pass: a union of two projections would
     # inline the orders⋈lineitem-distinct subtree twice (ReuseExchange
     # shares the distinct's shuffle, but the post-exchange aggregate still
@@ -126,25 +144,21 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("e")
     ).select("e.u", "e.v")
-    # assume_distinct: pairs is distinct and the odd/even node encoding
-    # makes the symmetrized union disjoint, so pagerank's dedup exchange
-    # would be a full |E|-sized no-op.
+    # assume_distinct (distributed path): pairs is distinct and the
+    # odd/even node encoding makes the symmetrized union disjoint, so
+    # pagerank's dedup exchange would be a full |E|-sized no-op.  On the
+    # small path assume_distinct=False routes dedup into the kernel.
     #
-    # approx_edge_bound (round 11): every lineitem row yields at most one
-    # (cust, supp) pair, so |edges| <= 2·|lineitem| after symmetrization —
-    # a metadata-only UPPER bound (parquet footer, no Spark job) that lets
+    # approx_edge_bound (round 11): the metadata bound above lets
     # pagerank() take its single-task Arrow kernel path without first
     # materializing the distributed loop's normalized/partitioned edge
-    # table.  On a big corpus the bound exceeds the kernel ceiling and the
-    # distributed loop runs exactly as before.
-    from ..session import parquet_num_rows
-
-    li_rows = parquet_num_rows(os.path.join(sf_dir, "lineitem.parquet"))
+    # table.  On a big corpus the bound exceeds the kernel ceiling and
+    # the distributed loop runs exactly as before.
     ranks = pagerank(
         edges,
         damping=_DAMPING,
         iterations=_ITERS,
-        assume_distinct=True,
+        assume_distinct=not small,
         approx_edge_bound=None if li_rows is None else 2 * li_rows,
     )
     return ranks.select(

@@ -191,3 +191,23 @@ def test_cc_kernel_matches_distributed_loop(spark):
             spark.conf.set("spark.graft.cc_local_max_edges", prev)
     assert kernel == dist
     assert k_stats["iterations"] == d_stats["iterations"]
+
+
+def test_triangle_kernel_matches_distributed(spark):
+    """r11 single-task triangle kernel ≡ distributed plan (exact integer
+    counts) on a graph where degree order disagrees with id order."""
+    from datafusion_parallelism_spark.operators.graph import triangle_counts
+
+    raw = [(i, j) for i in range(10) for j in range(i + 1, 10) if (i * j) % 4 != 1]
+    df = spark.createDataFrame(raw, schema="u long, v long")
+    kern = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    prev = spark.conf.get("spark.graft.tri_local_max_edges", None)
+    spark.conf.set("spark.graft.tri_local_max_edges", "0")
+    try:
+        dist = {r.node: r.triangles for r in triangle_counts(df).collect()}
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.graft.tri_local_max_edges")
+        else:
+            spark.conf.set("spark.graft.tri_local_max_edges", prev)
+    assert kern == dist

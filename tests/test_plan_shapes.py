@@ -357,11 +357,19 @@ def test_triangle_corners_single_generator_pass(spark, sf_dir):
     writes but each copy re-reads and re-joins; measured 22-exchange plan
     vs 10).  Pin: exactly one LeftSemi (the closing-edge check), exactly
     one Generate (the corner explode), no BroadcastNestedLoop/cartesian."""
-    plan = physical_plan_str(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    with _with_conf(spark, {"spark.graft.tri_local_max_edges": "0"}):
+        plan = physical_plan_str(
+            REGISTRY["graph_triangle_counts"].fn(spark, sf_dir)
+        )
     assert plan.count("LeftSemi") == 1, plan
     assert plan.count("Generate") == 1, plan
     assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 12, plan
+    # Default (r11): a small measured edge count routes the whole count
+    # into the single-task NumPy kernel — no joins at all.
+    plan = physical_plan_str(REGISTRY["graph_triangle_counts"].fn(spark, sf_dir))
+    assert "MapInArrow" in plan, plan
+    assert "Join" not in plan, plan
 
 
 def test_triangle_wedge_table_never_sorted(spark):
@@ -383,6 +391,7 @@ def test_triangle_wedge_table_never_sorted(spark):
         {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
             "spark.sql.adaptive.enabled": "true",
+            "spark.graft.tri_local_max_edges": "0",
         },
     ):
         plan = physical_plan_str(triangle_counts(edges)).split(
